@@ -1,0 +1,45 @@
+"""Global numeric policy for the CNMGP-TPU framework.
+
+The reference implementation (see /root/reference: ``code/utils.py:6-13`` and
+``code/SIM_code/Utility/settings.py:1-6``) pins float64 on CPU and leans on two
+jitter constants (1e-4 for the DSVI path, 1e-6 for the fully-Bayesian path).
+
+On TPU we default to float32 compute (MXU-friendly) and keep the same jitter
+policy, scaled appropriately.  Tests run with ``jax_enable_x64`` on a CPU mesh
+for oracle-grade comparisons; the library itself is dtype-polymorphic and
+follows its inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+
+# Jitter added before every Cholesky/solve on inducing-point (M x M) blocks.
+# Mirrors `tridiagonal_jitter = 1e-4` (reference code/utils.py:7).
+DSVI_JITTER = 1e-4
+
+# Jitter used by the fully-Bayesian (log-posterior) path.
+# Mirrors `settings.jitter = 1e-6` (reference SIM_code/Utility/settings.py:3).
+MCMC_JITTER = 1e-6
+
+# Floor for predictive variances, mirrors `settings.precision = 1e-6`
+# (reference SIM_code/Utility/settings.py:6).
+PRECISION = 1e-6
+
+
+def default_dtype():
+    """Compute dtype: float64 iff jax x64 mode is on, else float32."""
+    from jax import config as jax_config
+
+    return jnp.float64 if jax_config.jax_enable_x64 else jnp.float32
+
+
+def is_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing only
+        return False

@@ -1,0 +1,382 @@
+"""DSVI training loop: Adam over the negative stochastic ELBO.
+
+TPU-native replacement of the reference `inference()` driver
+(/root/reference/code/nmgp_dsvi.py:758-909):
+
+  - optax Adam with an optional freeze mask over the three length-scale log
+    hyperparameters (the reference's `fix_hyperpars` requires_grad toggles,
+    nmgp_dsvi.py:794-814)
+  - hyperparameter overrides by name (nmgp_dsvi.py:779-787).  The reference
+    has a copy-paste bug writing `sigma2_L1_log` into `sigma2_L0_log`
+    (nmgp_dsvi.py:784-785); we implement the *intended* behavior.
+  - minibatch epochs with device-side shuffling; static batch shapes via
+    padding + 0/1 weights (the reference's DataLoader yields ragged last
+    batches — that would retrigger XLA compilation, so we pad)
+  - epoch-window stop criterion (nmgp_dsvi.py:876-883) and periodic ELBO
+    probe (nmgp_dsvi.py:885-888)
+  - checkpoint save/resume (nmgp_dsvi.py:789-792,893-899) via utils.checkpoint
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import cnmgp
+from ..models.cnmgp import CNMGPParams
+
+__all__ = ["DSVIConfig", "DSVIResult", "make_train_step", "inference"]
+
+FROZEN_WHEN_FIXED = (
+    "length_scales_tildeell_log",
+    "length_scales_L0_log",
+    "length_scales_L1_log",
+)
+
+
+@dataclass
+class DSVIConfig:
+    batch_size: int = 0  # 0 = full batch
+    lr: float = 0.01
+    itnum: int = 1000
+    fix_hyperpars: bool = True
+    hyperpars: Optional[Dict[str, float]] = None
+    do_stop_criterion: bool = False
+    seed: int = 22
+    show_elbo: bool = True
+    elbo_every: int = 100
+    elbo_samples: int = 100
+    verbose: bool = False
+    checkpoint_path: Optional[str] = None
+    continuous_training: bool = False
+    save_model: bool = False
+
+
+@dataclass
+class DSVIResult:
+    params: CNMGPParams
+    Z: jnp.ndarray
+    loss_list: List[float]
+    time_list: List[float]
+    elbo_trace: List[float] = field(default_factory=list)
+    rmse_test_list: List[float] = field(default_factory=list)
+
+
+def apply_hyperpars(params: CNMGPParams, hyperpars: Optional[Dict[str, float]]):
+    """Override named log-hyperparameters (nmgp_dsvi.py:779-814)."""
+    if not hyperpars:
+        return params
+    updates = {}
+    for name in (
+        "sigma2_tildeell_log",
+        "length_scales_tildeell_log",
+        "sigma2_L0_log",
+        "length_scales_L0_log",
+        "sigma2_L1_log",
+        "length_scales_L1_log",
+        "sigma2_err_log",
+    ):
+        if name in hyperpars:
+            updates[name] = jnp.asarray(hyperpars[name], params.mu_v.dtype)
+    return params._replace(**updates)
+
+
+def freeze_mask(params: CNMGPParams, fix_hyperpars: bool) -> CNMGPParams:
+    """Pytree of 0/1 multipliers: 0 on frozen leaves."""
+    ones = jax.tree_util.tree_map(jnp.ones_like, params)
+    if not fix_hyperpars:
+        return ones
+    return ones._replace(
+        **{f: jnp.zeros_like(getattr(params, f)) for f in FROZEN_WHEN_FIXED}
+    )
+
+
+def make_train_step(optimizer, n_total: int, jitter: float):
+    """Build a jitted (params, opt_state, batch, key) -> ... step."""
+
+    @jax.jit
+    def step(params, opt_state, grad_mask, Z, bx, by, bidx, bw, key):
+        def loss_fn(p):
+            return cnmgp.negative_selbo(
+                p, Z, bx, by, bidx, bw, n_total, key, jitter
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # NaN/Inf guard: reference zeroes non-finite grads
+        # (nmgp_dsvi.py:78-83); also apply the freeze mask.
+        grads = jax.tree_util.tree_map(
+            lambda g, m: jnp.where(jnp.isfinite(g), g, 0.0) * m, grads, grad_mask
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_scan_epochs(optimizer, n_total: int, jitter: float, num_batches: int, batch_size: int):
+    """Fused multi-epoch trainer: runs `n_epochs` epochs inside one jitted
+    `lax.scan`, re-shuffling minibatches on-device each epoch.
+
+    This is the TPU fast path — one dispatch per probe interval instead of
+    one per step (the reference pays Python/DataLoader overhead every step,
+    nmgp_dsvi.py:827-874).
+    """
+
+    def epoch_body(carry, key):
+        params, opt_state, grad_mask, Z, x, y, idx = carry
+        n = x.shape[0]
+        k_perm, k_steps = jax.random.split(key)
+        if num_batches == 1:
+            batch_sel = jnp.arange(n)[None, :]
+            batch_w = jnp.ones((1, n), x.dtype)
+        else:
+            perm = jax.random.permutation(k_perm, n)
+            pad = num_batches * batch_size - n
+            padded = jnp.concatenate([perm, jnp.zeros(pad, perm.dtype)])
+            batch_sel = padded.reshape(num_batches, batch_size)
+            batch_w = jnp.concatenate(
+                [jnp.ones(n, x.dtype), jnp.zeros(pad, x.dtype)]
+            ).reshape(num_batches, batch_size)
+
+        def step_body(pc, inp):
+            params, opt_state = pc
+            sel, w, k = inp
+
+            def loss_fn(p):
+                return cnmgp.negative_selbo(
+                    p, Z, x[sel], y[sel], idx[sel], w, n_total, k, jitter
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.tree_util.tree_map(
+                lambda g, m: jnp.where(jnp.isfinite(g), g, 0.0) * m,
+                grads,
+                grad_mask,
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        step_keys = jax.random.split(k_steps, num_batches)
+        (params, opt_state), losses = jax.lax.scan(
+            step_body, (params, opt_state), (batch_sel, batch_w, step_keys)
+        )
+        return (params, opt_state, grad_mask, Z, x, y, idx), losses
+
+    @partial(jax.jit, static_argnames=("n_epochs",))
+    def run(params, opt_state, grad_mask, Z, x, y, idx, key, n_epochs):
+        keys = jax.random.split(key, n_epochs)
+        carry, losses = jax.lax.scan(
+            epoch_body, (params, opt_state, grad_mask, Z, x, y, idx), keys
+        )
+        params, opt_state = carry[0], carry[1]
+        return params, opt_state, losses.reshape(-1)
+
+    return run
+
+
+def _make_batches(key, n, batch_size):
+    """Shuffled padded batch index matrix (num_batches, batch_size) plus a
+    0/1 weight matrix for the padded tail."""
+    perm = jax.random.permutation(key, n)
+    num_batches = -(-n // batch_size)
+    padded = jnp.concatenate([perm, jnp.zeros(num_batches * batch_size - n, perm.dtype)])
+    weights = jnp.concatenate(
+        [jnp.ones(n), jnp.zeros(num_batches * batch_size - n)]
+    )
+    return (
+        padded.reshape(num_batches, batch_size),
+        weights.reshape(num_batches, batch_size),
+    )
+
+
+def inference(
+    X_train_list,
+    Y_train_list,
+    z,
+    batch_size: int,
+    dim_outputs: int,
+    hyperpars: Optional[Dict[str, float]] = None,
+    fix_hyperpars: bool = True,
+    mu_v=None,
+    mu_W=None,
+    mu_U=None,
+    sqrt_v=None,
+    sqrt_W=None,
+    sqrt_U=None,
+    lr: float = 0.01,
+    itnum: int = 1000,
+    do_stop_criterion: bool = False,
+    seed: int = 22,
+    verbose: bool = False,
+    PATH: Optional[str] = None,
+    continuous_training: bool = False,
+    show_ELBO: bool = True,
+    save_model: bool = False,
+    X_test_list=None,
+    Y_test_list=None,
+    dtype=None,
+    jitter: float = 1e-4,
+    elbo_every: int = 100,
+    elbo_samples: int = 100,
+) -> DSVIResult:
+    """Train a CNMGP by DSVI.  Signature mirrors the reference `inference()`
+    (nmgp_dsvi.py:758-761) so reference drivers port one-to-one."""
+    from ..utils.data import flatten_output_lists
+    from ..utils import checkpoint as ckpt
+
+    if dtype is None:
+        from ..config import default_dtype
+
+        dtype = default_dtype()
+
+    data = flatten_output_lists(X_train_list, Y_train_list)
+    n_total = data.n
+    if batch_size <= 0 or batch_size > n_total:
+        batch_size = n_total
+
+    x = jnp.asarray(data.x, dtype)
+    y = jnp.asarray(data.y, dtype)
+    idx = jnp.asarray(data.idx)
+    Z = jnp.asarray(np.asarray(z).reshape(-1), dtype)
+    M = Z.shape[0]
+
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+    params = cnmgp.init_params(
+        k_init,
+        dim_outputs,
+        M,
+        dtype=dtype,
+        mu_v=mu_v,
+        mu_W=mu_W,
+        mu_U=mu_U,
+        sqrt_v=sqrt_v,
+        sqrt_W=sqrt_W,
+        sqrt_U=sqrt_U,
+    )
+    params = apply_hyperpars(params, hyperpars)
+
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+
+    if continuous_training and PATH is not None:
+        params, opt_state = ckpt.load_train_state(PATH, params, opt_state)
+        params = apply_hyperpars(
+            params,
+            {k: v for k, v in (hyperpars or {}).items() if k.startswith("length_scales")}
+            if fix_hyperpars
+            else None,
+        )
+
+    grad_mask = freeze_mask(params, fix_hyperpars)
+    step = make_train_step(optimizer, float(n_total), jitter)
+    elbo_fn = jax.jit(partial(cnmgp.elbo_estimate, n_sample=elbo_samples, jitter=jitter))
+
+    loss_list: List[float] = []
+    time_list: List[float] = []
+    elbo_trace: List[float] = []
+    rmse_test_list: List[float] = []
+
+    if X_test_list is not None:
+        test = flatten_output_lists(X_test_list, Y_test_list)
+        xt = jnp.asarray(test.x, dtype)
+        it = jnp.asarray(test.idx)
+        yt = np.asarray(test.y)
+        predict_fn = jax.jit(partial(cnmgp.predict_y_mean, jitter=jitter))
+
+    num_batches = -(-n_total // batch_size)
+    ts = time.time()
+
+    fast_path = X_test_list is None and not do_stop_criterion and not verbose
+    if fast_path:
+        run_epochs = make_scan_epochs(optimizer, float(n_total), jitter, num_batches, batch_size)
+        epoch = 0
+        while epoch < itnum:
+            chunk = min(elbo_every if show_ELBO else itnum, itnum - epoch)
+            key, k_run = jax.random.split(key)
+            params, opt_state, losses = run_epochs(
+                params, opt_state, grad_mask, Z, x, y, idx, k_run, chunk
+            )
+            loss_list.extend(np.asarray(losses).tolist())
+            time_list.extend([time.time() - ts] * int(losses.shape[0]))
+            epoch += chunk
+            if show_ELBO and epoch % elbo_every == 0:
+                key, k_elbo = jax.random.split(key)
+                elbo = float(elbo_fn(params, Z, x, y, idx, k_elbo))
+                elbo_trace.append(elbo)
+                print(f"epoch: {epoch}, ELBO: {elbo:.4f}")
+        epoch = itnum - 1
+        if show_ELBO:
+            print(f"training takes {time.time() - ts:.2f}s")
+        if save_model and PATH is not None:
+            ckpt.save_train_state(PATH, params, opt_state, epoch=epoch, loss=loss_list[-1])
+        return DSVIResult(
+            params=params,
+            Z=Z,
+            loss_list=loss_list,
+            time_list=time_list,
+            elbo_trace=elbo_trace,
+            rmse_test_list=rmse_test_list,
+        )
+
+    for epoch in range(itnum):
+        key, k_perm = jax.random.split(key)
+        if num_batches == 1:
+            batch_idx = jnp.arange(n_total)[None, :]
+            batch_w = jnp.ones((1, n_total), dtype)
+        else:
+            batch_idx, batch_w = _make_batches(k_perm, n_total, batch_size)
+            batch_w = batch_w.astype(dtype)
+        for b in range(num_batches):
+            sel = batch_idx[b]
+            key, k_step = jax.random.split(key)
+            params, opt_state, loss = step(
+                params, opt_state, grad_mask, Z, x[sel], y[sel], idx[sel], batch_w[b], k_step
+            )
+            loss_list.append(float(loss))
+            time_list.append(time.time() - ts)
+            if X_test_list is not None:
+                est = np.asarray(predict_fn(params, Z, xt, it))
+                rmse_test_list.append(float(np.sqrt(np.mean((est - yt) ** 2))))
+            if verbose:
+                print(
+                    f"epoch: {epoch}/{itnum}, batch: {b + 1}/{num_batches}, "
+                    f"loss: {loss_list[-1]:.4f}"
+                )
+
+        if do_stop_criterion and epoch % 5 == 4 and epoch > 5:
+            la = np.array(loss_list)
+            bn = num_batches
+            if la[-bn:].sum() > la[-bn * 6 : -bn * 5].sum():
+                print("Stop criteria is satisfied.")
+                break
+
+        if show_ELBO and epoch % elbo_every == elbo_every - 1:
+            key, k_elbo = jax.random.split(key)
+            elbo = float(elbo_fn(params, Z, x, y, idx, k_elbo))
+            elbo_trace.append(elbo)
+            print(f"epoch: {epoch + 1}, ELBO: {elbo:.4f}")
+
+    if verbose or show_ELBO:
+        print(f"training takes {time.time() - ts:.2f}s")
+
+    if save_model and PATH is not None:
+        ckpt.save_train_state(PATH, params, opt_state, epoch=epoch, loss=loss_list[-1])
+
+    return DSVIResult(
+        params=params,
+        Z=Z,
+        loss_list=loss_list,
+        time_list=time_list,
+        elbo_trace=elbo_trace,
+        rmse_test_list=rmse_test_list,
+    )

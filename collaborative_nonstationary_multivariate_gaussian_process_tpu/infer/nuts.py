@@ -1,0 +1,411 @@
+"""No-U-Turn Sampler (NUTS) — iterative, jit-compatible, vmap/shard-ready.
+
+Dynamic-trajectory HMC with multinomial progressive sampling (Betancourt
+2017) and the iterative checkpoint U-turn scheme (Phan et al., iterative
+NUTS), so the whole transition is `lax.while_loop`s with static state shapes:
+no recursion, no dynamic shapes — exactly what XLA/TPU wants.
+
+The reference repo has *no* sampler (SURVEY.md §0: HMC results are plotted
+from external runs, SIM_code/Utility/posterior_analysis.py:142-174); this
+module supplies the missing piece over models/logdensities.py densities.
+
+Algorithm summary:
+  outer loop: up to `max_depth` doublings; each doubling extends the
+    trajectory by 2^depth leapfrog steps in a random direction.
+  inner loop (subtree build): one leapfrog step per iteration; the U-turn
+    condition of every *internal* binary-subtree is checked via O(max_depth)
+    checkpoints — a span [a, n] of size 2^k completes when (n+1) % 2^k == 0,
+    and its left-edge state lives in checkpoint slot popcount(a) (active
+    span-starts always have distinct popcounts).
+  progressive multinomial sampling: each visited leaf replaces the current
+    proposal with probability exp(lw_leaf - logsumexp(lw_so_far)); merged
+    subtrees use biased progressive sampling P(new) = min(1, W_new/W_old).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hmc import (
+    DualAveragingState,
+    HMCState,
+    da_init,
+    da_update,
+    find_reasonable_step_size,
+    hmc_init,
+)
+
+__all__ = ["NUTSInfo", "nuts_kernel", "run_nuts"]
+
+MAX_DELTA_ENERGY = 1000.0
+
+
+class NUTSInfo(NamedTuple):
+    accept_prob: jax.Array  # mean accept prob over visited leaves
+    num_steps: jax.Array  # total leapfrog steps this transition
+    depth: jax.Array  # tree depth reached
+    diverging: jax.Array  # bool
+    step_size: jax.Array
+
+
+def _popcount(n):
+    """Population count for int32 scalars (SWAR)."""
+    n = n - ((n >> 1) & 0x55555555)
+    n = (n & 0x33333333) + ((n >> 2) & 0x33333333)
+    n = (n + (n >> 4)) & 0x0F0F0F0F
+    return (n * 0x01010101) >> 24
+
+
+def _is_turning(v_sharp_left, v_sharp_right, rho):
+    """Generalized U-turn: trajectory turning if either edge velocity points
+    against the span momentum sum."""
+    return jnp.logical_or(
+        jnp.dot(v_sharp_left, rho) <= 0.0, jnp.dot(v_sharp_right, rho) <= 0.0
+    )
+
+
+class _TreeState(NamedTuple):
+    # trajectory edges (positions, momenta, grads)
+    q_left: jax.Array
+    p_left: jax.Array
+    g_left: jax.Array
+    q_right: jax.Array
+    p_right: jax.Array
+    g_right: jax.Array
+    # proposal
+    q_prop: jax.Array
+    lp_prop: jax.Array
+    g_prop: jax.Array
+    # trajectory-wide accumulators
+    rho: jax.Array  # momentum sum over whole trajectory
+    log_w: jax.Array  # logsumexp of leaf weights
+    sum_accept: jax.Array
+    num_leaves: jax.Array
+    depth: jax.Array
+    turning: jax.Array
+    diverging: jax.Array
+
+
+def nuts_kernel(
+    log_prob_fn: Callable,
+    state: HMCState,
+    key,
+    step_size,
+    inv_mass,
+    max_depth: int = 10,
+):
+    """One NUTS transition.  Returns (HMCState, NUTSInfo)."""
+    dtype = state.position.dtype
+    dim = state.position.shape[0]
+    k_mom, k_dir, k_prop = jax.random.split(key, 3)
+
+    sd = jnp.sqrt(1.0 / inv_mass)
+    p0 = sd * jax.random.normal(k_mom, (dim,), dtype)
+    energy0 = state.log_prob - 0.5 * jnp.sum(inv_mass * p0**2)
+
+    def leapfrog(q, p, g, eps):
+        p_half = p + 0.5 * eps * g
+        q_new = q + eps * inv_mass * p_half
+        lp, g_new = jax.value_and_grad(log_prob_fn)(q_new)
+        p_new = p_half + 0.5 * eps * g_new
+        return q_new, p_new, g_new, lp
+
+    def build_subtree(key, q0, p0_, g0, eps, depth):
+        """Integrate 2^depth steps from (q0,p0,g0); returns subtree summary.
+
+        Checkpoint arrays have static size max_depth+1; slot index is
+        popcount of the span-start leaf index.
+        """
+        num_leaves = jnp.int32(2) ** depth
+
+        ck_q = jnp.zeros((max_depth + 1, dim), dtype)
+        ck_p = jnp.zeros((max_depth + 1, dim), dtype)
+        ck_psum = jnp.zeros((max_depth + 1, dim), dtype)
+
+        init = dict(
+            n=jnp.int32(0),
+            q=q0,
+            p=p0_,
+            g=g0,
+            psum=jnp.zeros(dim, dtype),  # cumulative momentum sum incl. leaf n-1
+            ck_q=ck_q,
+            ck_p=ck_p,
+            ck_psum=ck_psum,
+            q_prop=q0,
+            lp_prop=jnp.array(-jnp.inf, dtype),
+            g_prop=g0,
+            log_w=jnp.array(-jnp.inf, dtype),
+            sum_accept=jnp.zeros((), dtype),
+            turning=jnp.asarray(False),
+            diverging=jnp.asarray(False),
+            key=key,
+            # subtree edge states (first/last leaf)
+            q_first=q0,
+            p_first=p0_,
+            g_first=g0,
+            lp_last=jnp.zeros((), dtype),
+        )
+
+        def cond(c):
+            return jnp.logical_and(
+                c["n"] < num_leaves,
+                jnp.logical_not(jnp.logical_or(c["turning"], c["diverging"])),
+            )
+
+        def body(c):
+            n = c["n"]
+            q, p, g, lp = leapfrog(c["q"], c["p"], c["g"], eps)
+            energy = lp - 0.5 * jnp.sum(inv_mass * p**2)
+            delta = energy - energy0
+            delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+            diverging = delta < -MAX_DELTA_ENERGY
+            accept_p = jnp.minimum(1.0, jnp.exp(delta))
+
+            # --- progressive multinomial proposal within subtree ----------
+            log_w_new = jnp.logaddexp(c["log_w"], delta)
+            key, k_sel = jax.random.split(c["key"])
+            take = jnp.log(jax.random.uniform(k_sel, dtype=dtype)) < (delta - log_w_new)
+            q_prop = jnp.where(take, q, c["q_prop"])
+            lp_prop = jnp.where(take, lp, c["lp_prop"])
+            g_prop = jnp.where(take, g, c["g_prop"])
+
+            # --- checkpoint store (span starts are even leaf indices) -----
+            slot = _popcount(n)
+            is_start = (n % 2) == 0
+            ck_q = jnp.where(is_start, c["ck_q"].at[slot].set(q), c["ck_q"])
+            ck_p = jnp.where(is_start, c["ck_p"].at[slot].set(p), c["ck_p"])
+            ck_psum = jnp.where(is_start, c["ck_psum"].at[slot].set(c["psum"]), c["ck_psum"])
+
+            psum = c["psum"] + p
+
+            # --- completed-span U-turn checks -----------------------------
+            turning = c["turning"]
+            np1 = n + 1
+            for k in range(1, max_depth + 1):
+                span = jnp.int32(2**k)
+                complete = jnp.logical_and(np1 % span == 0, np1 >= span)
+                a = np1 - span
+                slot_a = _popcount(a)
+                rho_span = psum - ck_psum[slot_a]
+                turn_k = _is_turning(
+                    inv_mass * ck_p[slot_a], inv_mass * p, rho_span
+                )
+                turning = jnp.logical_or(turning, jnp.logical_and(complete, turn_k))
+
+            first = n == 0
+            return dict(
+                n=np1,
+                q=q,
+                p=p,
+                g=g,
+                psum=psum,
+                ck_q=ck_q,
+                ck_p=ck_p,
+                ck_psum=ck_psum,
+                q_prop=q_prop,
+                lp_prop=lp_prop,
+                g_prop=g_prop,
+                log_w=log_w_new,
+                sum_accept=c["sum_accept"] + accept_p,
+                turning=turning,
+                diverging=jnp.logical_or(c["diverging"], diverging),
+                key=key,
+                q_first=jnp.where(first, q, c["q_first"]),
+                p_first=jnp.where(first, p, c["p_first"]),
+                g_first=jnp.where(first, g, c["g_first"]),
+                lp_last=lp,
+            )
+
+        c = jax.lax.while_loop(cond, body, init)
+        return c
+
+    # ---- outer doubling loop ---------------------------------------------
+    init_tree = _TreeState(
+        q_left=state.position,
+        p_left=p0,
+        g_left=state.grad,
+        q_right=state.position,
+        p_right=p0,
+        g_right=state.grad,
+        q_prop=state.position,
+        lp_prop=state.log_prob,
+        g_prop=state.grad,
+        rho=p0,
+        log_w=jnp.zeros((), dtype),  # initial point has weight exp(0)
+        sum_accept=jnp.zeros((), dtype),
+        num_leaves=jnp.int32(1),
+        depth=jnp.int32(0),
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+    )
+
+    def out_cond(carry):
+        tree, _ = carry
+        return jnp.logical_and(
+            tree.depth < max_depth,
+            jnp.logical_not(jnp.logical_or(tree.turning, tree.diverging)),
+        )
+
+    def out_body(carry):
+        tree, key = carry
+        key, k_dir, k_sub, k_bias = jax.random.split(key, 4)
+        go_right = jax.random.bernoulli(k_dir)
+        eps = jnp.where(go_right, step_size, -step_size)
+        q0 = jnp.where(go_right, tree.q_right, tree.q_left)
+        p0_ = jnp.where(go_right, tree.p_right, tree.p_left)
+        g0 = jnp.where(go_right, tree.g_right, tree.g_left)
+
+        sub = build_subtree(k_sub, q0, p0_, g0, eps, tree.depth)
+
+        sub_ok = jnp.logical_not(jnp.logical_or(sub["turning"], sub["diverging"]))
+
+        # biased progressive sampling between old trajectory and new subtree
+        log_ratio = sub["log_w"] - tree.log_w
+        take_new = jnp.log(jax.random.uniform(k_bias, dtype=dtype)) < log_ratio
+        take_new = jnp.logical_and(take_new, sub_ok)
+        q_prop = jnp.where(take_new, sub["q_prop"], tree.q_prop)
+        lp_prop = jnp.where(take_new, sub["lp_prop"], tree.lp_prop)
+        g_prop = jnp.where(take_new, sub["g_prop"], tree.g_prop)
+
+        # merge edges (subtree's last state becomes the new edge)
+        q_edge, p_edge, g_edge = sub["q"], sub["p"], sub["g"]
+        q_left = jnp.where(go_right, tree.q_left, q_edge)
+        p_left = jnp.where(go_right, tree.p_left, p_edge)
+        g_left = jnp.where(go_right, tree.g_left, g_edge)
+        q_right = jnp.where(go_right, q_edge, tree.q_right)
+        p_right = jnp.where(go_right, p_edge, tree.p_right)
+        g_right = jnp.where(go_right, g_edge, tree.g_right)
+
+        rho = tree.rho + sub["psum"]
+        turning_total = _is_turning(inv_mass * p_left, inv_mass * p_right, rho)
+        turning = jnp.logical_or(
+            sub["turning"], jnp.logical_and(sub_ok, turning_total)
+        )
+
+        new_tree = _TreeState(
+            q_left=q_left,
+            p_left=p_left,
+            g_left=g_left,
+            q_right=q_right,
+            p_right=p_right,
+            g_right=g_right,
+            q_prop=q_prop,
+            lp_prop=lp_prop,
+            g_prop=g_prop,
+            rho=rho,
+            log_w=jnp.logaddexp(tree.log_w, sub["log_w"]),
+            sum_accept=tree.sum_accept + sub["sum_accept"],
+            num_leaves=tree.num_leaves + jnp.int32(2) ** tree.depth,
+            depth=tree.depth + 1,
+            turning=turning,
+            diverging=sub["diverging"],
+        )
+        return (new_tree, key)
+
+    tree, _ = jax.lax.while_loop(out_cond, out_body, (init_tree, k_prop))
+
+    new_state = HMCState(position=tree.q_prop, log_prob=tree.lp_prop, grad=tree.g_prop)
+    n_lf = tree.num_leaves - 1
+    info = NUTSInfo(
+        accept_prob=tree.sum_accept / jnp.maximum(n_lf.astype(dtype), 1.0),
+        num_steps=n_lf,
+        depth=tree.depth,
+        diverging=tree.diverging,
+        step_size=step_size,
+    )
+    return new_state, info
+
+
+def run_nuts(
+    log_prob_fn: Callable,
+    init_position,
+    key,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    init_step_size: float = 0.1,
+    mass_adapt: bool = True,
+):
+    """Single-chain NUTS with dual-averaging + diagonal-mass warmup.
+
+    Wrap in `jax.vmap` over (init_position, key) for multi-chain on one
+    device, and `shard_map` over a mesh "chain" axis for multi-device
+    (see parallel/sharded_mcmc.py).  Returns (positions, info dict).
+    """
+    dtype = init_position.dtype
+    dim = init_position.shape[0]
+    state = hmc_init(log_prob_fn, init_position)
+    inv_mass0 = jnp.ones(dim, dtype)
+
+    k_find, k_warm, k_main = jax.random.split(key, 3)
+    eps0 = find_reasonable_step_size(log_prob_fn, state, k_find, inv_mass0, init_step_size)
+
+    half = num_warmup // 2
+
+    def warm_body(carry, inp):
+        st, da, mean, m2, cnt = carry
+        i, k = inp
+        eps = jnp.exp(da.log_eps)
+        st, info = nuts_kernel(log_prob_fn, st, k, eps, inv_mass0, max_depth)
+        da = da_update(da, info.accept_prob, target_accept)
+        in_w = i >= half
+        cnt = cnt + jnp.where(in_w, 1.0, 0.0)
+        delta = st.position - mean
+        mean = mean + jnp.where(in_w, delta / jnp.maximum(cnt, 1.0), 0.0)
+        m2 = m2 + jnp.where(in_w, delta * (st.position - mean), 0.0)
+        return (st, da, mean, m2, cnt), info.accept_prob
+
+    carry0 = (
+        state,
+        da_init(eps0),
+        jnp.zeros(dim, dtype),
+        jnp.zeros(dim, dtype),
+        jnp.zeros((), dtype),
+    )
+    keys = jax.random.split(k_warm, num_warmup)
+    (state, da, mean, m2, cnt), warm_aps = jax.lax.scan(
+        warm_body, carry0, (jnp.arange(num_warmup), keys)
+    )
+
+    if mass_adapt and num_warmup > 10:
+        var = m2 / jnp.maximum(cnt - 1.0, 1.0)
+        inv_mass = jnp.where(var > 1e-10, var, 1.0)
+    else:
+        inv_mass = inv_mass0
+    eps_final = jnp.exp(da.log_eps_bar)
+
+    # short re-adaptation of step size under the new mass matrix
+    n_readapt = max(num_warmup // 5, 1)
+
+    def readapt_body(carry, k):
+        st, da = carry
+        eps = jnp.exp(da.log_eps)
+        st, info = nuts_kernel(log_prob_fn, st, k, eps, inv_mass, max_depth)
+        da = da_update(da, info.accept_prob, target_accept)
+        return (st, da), None
+
+    (state, da2), _ = jax.lax.scan(
+        readapt_body, (state, da_init(eps_final)), jax.random.split(k_warm, n_readapt)
+    )
+    eps_final = jnp.exp(da2.log_eps_bar)
+
+    def main_body(st, k):
+        st, info = nuts_kernel(log_prob_fn, st, k, eps_final, inv_mass, max_depth)
+        return st, (st.position, info.accept_prob, st.log_prob, info.num_steps, info.diverging)
+
+    keys = jax.random.split(k_main, num_samples)
+    _, (positions, aps, lps, steps, divs) = jax.lax.scan(main_body, state, keys)
+    info = {
+        "accept_prob": aps,
+        "log_prob": lps,
+        "num_steps": steps,
+        "diverging": divs,
+        "step_size": eps_final,
+        "inv_mass": inv_mass,
+        "warmup_accept_mean": jnp.mean(warm_aps),
+    }
+    return positions, info

@@ -1,0 +1,117 @@
+"""Log-density primitives.
+
+TPU-native forms of the reference's `SIM_code/Utility/distributions.py`:
+  - Kronecker-structured MVN log-pdfs (distributions.py:26-96)
+  - dense-oracle MVN log-pdf           (distributions.py:99-113)
+  - inverse-gamma / gamma log-pdfs     (distributions.py:116-137)
+plus the scalar-Normal log-prob used by the DSVI reconstruction term
+(`Normal_logprob`, code/utils.py:268-272).
+
+All are pure jnp functions differentiable end-to-end (the reference relied on
+torch autograd through `symeig`; here `jnp.linalg.eigh` provides the same).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from .kron import kron_diag, kron_mv
+
+__all__ = [
+    "normal_logprob_sum",
+    "mvn_logpdf_kron",
+    "mvn_logpdf_dense",
+    "mvn_logpdf_prec",
+    "mvn_logpdf_chol",
+    "inverse_gamma_logpdf",
+    "inverse_gamma_logpdf_u",
+    "gamma_logpdf",
+]
+
+_LOG_2PI = jnp.log(2.0 * jnp.pi)
+
+
+def normal_logprob_sum(loc, scale, y):
+    """Sum of elementwise Normal log-probs (reference code/utils.py:268-272)."""
+    var = scale**2
+    log_pdf = -((y - loc) ** 2) / (2.0 * var) - jnp.log(scale) - 0.5 * _LOG_2PI
+    return jnp.sum(log_pdf)
+
+
+def mvn_logpdf_kron(y, mu, B, K, sigma2, jitter=0.0):
+    """Un-normalized log N(y | mu, B ⊗ K + sigma2 I) via factor eigh.
+
+    Matches `multivariate_normal_logpdf0` (reference distributions.py:26-52):
+    the constant -0.5*MN*log(2π) is intentionally dropped, exactly like the
+    reference.  `jitter` (added to both factor diagonals) gives the
+    "robust" retry path of `multivariate_normal_logpdf1` (distributions.py:
+    55-96) deterministically instead of with random perturbations.
+    y is task-major: y = vec(Yᵀ) for Y of shape (N, M), B is (M, M) over
+    tasks, K is (N, N) over inputs.
+    """
+    if jitter:
+        B = B + jitter * jnp.eye(B.shape[0], dtype=B.dtype)
+        K = K + jitter * jnp.eye(K.shape[0], dtype=K.dtype)
+    w_B, v_B = jnp.linalg.eigh(B)
+    w_K, v_K = jnp.linalg.eigh(K)
+    tilde_y = y - mu
+    a = kron_mv(v_B.T, v_K.T, tilde_y)
+    t = kron_diag(w_B, w_K)
+    w = 1.0 / (sigma2 + t)
+    quad = jnp.dot(a * w, a)
+    logdet = jnp.sum(jnp.log(t + sigma2))
+    return -0.5 * logdet - 0.5 * quad
+
+
+def mvn_logpdf_prec(y, mu, logdet_sigma, inv_sigma):
+    """Un-normalized MVN log-pdf from precomputed log-det and inverse.
+
+    Matches `multivariate_normal_logpdf` (distributions.py:10-23) — note the
+    reference drops the 2π constant (line 22 overwrites line 21).
+    """
+    yb = y - mu
+    return -0.5 * logdet_sigma - 0.5 * jnp.dot(yb, inv_sigma @ yb)
+
+
+def mvn_logpdf_dense(y, mu, Sigma):
+    """Un-normalized dense MVN log-pdf via Cholesky (oracle path).
+
+    Equivalent to `multivariate_normal_logpdf2` (distributions.py:99-113)
+    but Cholesky-based instead of explicit inverse.
+    """
+    import jax.scipy.linalg as jsl
+
+    L = jnp.linalg.cholesky(Sigma)
+    yb = y - mu
+    sol = jsl.solve_triangular(L, yb, lower=True)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    return -0.5 * logdet - 0.5 * jnp.sum(sol**2)
+
+
+def mvn_logpdf_chol(y, mu, Sigma):
+    """*Normalized* MVN log-pdf (used for GP priors, mirroring the
+    reference's use of `torch.distributions.MultivariateNormal.log_prob`
+    in logpos.py:274 etc.)."""
+    n = y.shape[-1]
+    return mvn_logpdf_dense(y, mu, Sigma) - 0.5 * n * _LOG_2PI
+
+
+def inverse_gamma_logpdf_u(x, alpha=1.0, beta=1.0):
+    """Un-normalized inverse-gamma log-pdf (distributions.py:116-124)."""
+    return (-alpha - 1.0) * jnp.log(x) - beta / x
+
+
+def inverse_gamma_logpdf(x, alpha=1.0, beta=1.0):
+    """Normalized inverse-gamma log-pdf (distributions.py:126-134)."""
+    return (
+        (-alpha - 1.0) * jnp.log(x)
+        - beta / x
+        + alpha * jnp.log(beta)
+        - gammaln(alpha)
+    )
+
+
+def gamma_logpdf(x, alpha=1.0, beta=1.0):
+    """Normalized gamma log-pdf (distributions.py:136-137)."""
+    return (alpha - 1.0) * jnp.log(x) - beta * x + alpha * jnp.log(beta) - gammaln(alpha)

@@ -1,0 +1,244 @@
+"""Core linear-algebra primitives (pure, vmap-first, jit-safe).
+
+TPU-native re-design of the reference's tensor helpers:
+  - reparameterized Gaussian sampling  (reference code/utils.py:15-65)
+  - lower-triangular masks / vec<->tril transforms
+    (reference code/utils.py:68-72, SIM_code/Utility/utils.py:10-89)
+  - sparse-GP conditioning statistics  (reference code/utils.py:106-265)
+  - Gaussian KL with batched Cholesky  (reference code/utils.py:268-351)
+
+Everything here is a pure function on jnp arrays with static shapes, designed
+so a single `vmap` replaces the reference's Python loops and the MXU sees
+large batched matmuls.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DSVI_JITTER
+
+__all__ = [
+    "add_jitter",
+    "tril_mask",
+    "psd_solve",
+    "chol_with_jitter",
+    "vec_to_tril",
+    "tril_to_vec",
+    "uvec_to_lvec",
+    "lvec_to_uvec",
+    "diag_indices_of_trilvec",
+    "sample_full_cov",
+    "sample_diag",
+    "conditional_projection",
+    "mgp_mean_var",
+    "mgp_mean",
+    "kl_gaussian",
+]
+
+
+def add_jitter(K, jitter=DSVI_JITTER):
+    """K + jitter*I on the last two dims."""
+    n = K.shape[-1]
+    return K + jitter * jnp.eye(n, dtype=K.dtype)
+
+
+def tril_mask(X):
+    """Zero out the strict upper triangle of the last two dims.
+
+    Replaces `mat2ltri` (reference code/utils.py:68-72) without in-place ops.
+    """
+    n, m = X.shape[-2], X.shape[-1]
+    return X * jnp.tril(jnp.ones((n, m), dtype=X.dtype))
+
+
+def chol_with_jitter(K, jitter=DSVI_JITTER):
+    return jnp.linalg.cholesky(add_jitter(K, jitter))
+
+
+def psd_solve(K, B, jitter=DSVI_JITTER):
+    """Solve (K + jitter I) X = B via Cholesky (PSD-safe).
+
+    Mirrors the reference's `torch.solve(A=K22 + jitter*I, ...)` idiom
+    (code/utils.py:118-119) but always through a Cholesky factorization,
+    which XLA maps onto fast triangular solves.
+    """
+    L = chol_with_jitter(K, jitter)
+    return jax.scipy.linalg.cho_solve((L, True), B)
+
+
+# ---------------------------------------------------------------------------
+# vec <-> lower-triangular transforms
+# ---------------------------------------------------------------------------
+
+
+def _tril_idx(n):
+    return jnp.tril_indices(n)
+
+
+def vec_to_tril(v, n):
+    """Length n(n+1)/2 vector -> (n, n) lower-triangular matrix.
+
+    Replaces `vec2lowtriangle` (reference SIM_code/Utility/utils.py:56-74).
+    Row-major lower-triangle order: (0,0), (1,0), (1,1), (2,0), ...
+    """
+    rows, cols = _tril_idx(n)
+    out = jnp.zeros(v.shape[:-1] + (n, n), dtype=v.dtype)
+    return out.at[..., rows, cols].set(v)
+
+
+def tril_to_vec(L, n=None):
+    """Inverse of :func:`vec_to_tril` (reference utils.py:77-89)."""
+    if n is None:
+        n = L.shape[-1]
+    rows, cols = _tril_idx(n)
+    return L[..., rows, cols]
+
+
+def diag_indices_of_trilvec(n):
+    """Positions of the diagonal entries inside the length-n(n+1)/2 tril vec.
+
+    Matches `np.cumsum(np.arange(1, M+1)) - 1` (reference utils.py:12).
+    """
+    import numpy as np
+
+    return np.cumsum(np.arange(1, n + 1)) - 1
+
+
+def uvec_to_lvec(uvec, n):
+    """Unconstrained tril-vec -> constrained (exp on diagonal entries).
+
+    Replaces `uLvec2Lvec` (reference SIM_code/Utility/utils.py:10-22).
+    Supports arbitrary leading batch dims (replaces `uLvecs2Lvecs`,
+    utils.py:38-46, with a single vectorized op).
+    """
+    didx = diag_indices_of_trilvec(n)
+    mask = jnp.zeros(uvec.shape[-1], dtype=bool).at[didx].set(True)
+    return jnp.where(mask, jnp.exp(uvec), uvec)
+
+
+def lvec_to_uvec(lvec, n):
+    """Inverse transform (log on diagonal), `Lvec2uLvec` (utils.py:24-36)."""
+    didx = diag_indices_of_trilvec(n)
+    mask = jnp.zeros(lvec.shape[-1], dtype=bool).at[didx].set(True)
+    # guard the log for off-diagonal (unused) lanes
+    safe = jnp.where(mask, jnp.maximum(lvec, 1e-300), 1.0)
+    return jnp.where(mask, jnp.log(safe), lvec)
+
+
+# ---------------------------------------------------------------------------
+# Reparameterized sampling
+# ---------------------------------------------------------------------------
+
+
+def sample_diag(key, mean, var, jitter=DSVI_JITTER):
+    """mean + sqrt(var + jitter) * z, elementwise.
+
+    Mirrors `reparameterize(..., full_cov=False)` (reference utils.py:31-32),
+    including the +jitter inside the square root.
+    """
+    z = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    return mean + z * jnp.sqrt(var + jitter)
+
+
+def sample_full_cov(key, mean, scale_tril, jitter=DSVI_JITTER):
+    """Draw from N(mean, L Lᵀ + jitter I) without re-factorizing.
+
+    The reference builds Sigma = L Lᵀ then Cholesky(Sigma + jitter I)
+    (utils.py:40-64).  Sampling mean + L z1 + sqrt(jitter) z2 with independent
+    z1, z2 has exactly that covariance and skips the O(M^3) factorization —
+    one of the places the TPU design deliberately diverges in mechanism while
+    matching the distribution.
+    """
+    k1, k2 = jax.random.split(key)
+    z1 = jax.random.normal(k1, mean.shape, dtype=mean.dtype)
+    z2 = jax.random.normal(k2, mean.shape, dtype=mean.dtype)
+    return (
+        mean
+        + jnp.einsum("...ij,...j->...i", scale_tril, z1)
+        + jnp.sqrt(jnp.asarray(jitter, mean.dtype)) * z2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse-GP conditioning
+# ---------------------------------------------------------------------------
+
+
+def conditional_projection(K12, K22, jitter=DSVI_JITTER):
+    """P = K12 (K22 + jitter I)^{-1}, shape (N, M).
+
+    The core projection of every MGP*/JGP* helper in the reference
+    (code/utils.py:117-119 etc.).
+    """
+    return psd_solve(K22, K12.T, jitter).T
+
+
+def mgp_mean_var(P, K12, d11, mu, Sigma):
+    """Marginalized sparse-GP mean/variance given a precomputed projection.
+
+    Y | v ~ N(P v, diag(d11 - sum(P*K12))) with v ~ N(mu, Sigma) marginalized:
+      mean = P mu            (batched over leading dims of mu)
+      var  = d11 - sum(P*K12, -1) + diag(P Sigma Pᵀ)
+
+    Replaces `MGP_d` / `MGP_mu_sigma2` (reference code/utils.py:106-146); the
+    reference loops this D(D+1)/2 times in Python — here `mu` and `Sigma` may
+    carry arbitrary leading batch dims so one call covers all entries and the
+    contraction runs on the MXU.
+
+    P: (N, M); K12: (N, M); d11: (N,); mu: (..., M); Sigma: (..., M, M).
+    Returns mean (..., N), var (..., N).
+    """
+    mean = jnp.einsum("nm,...m->...n", P, mu)
+    base = d11 - jnp.sum(P * K12, axis=-1)
+    corr = jnp.einsum("nm,...mk,nk->...n", P, Sigma, P)
+    return mean, base + corr
+
+
+def mgp_mean(P, mu):
+    """Posterior mean only (reference `MGP_mu`, code/utils.py:149-157)."""
+    return jnp.einsum("nm,...m->...n", P, mu)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian KL divergence
+# ---------------------------------------------------------------------------
+
+
+def kl_gaussian(mu_q, scale_tril_q, mu_p, K_p, jitter=DSVI_JITTER):
+    """KL( N(mu_q, Lq Lqᵀ + jitter I) || N(mu_p, K_p + jitter I) ), batched.
+
+    Matches `KL_Gaussian` (reference code/utils.py:332-351) including its
+    jitter-on-both-sides behavior.  `mu_q`/`scale_tril_q` may have leading
+    batch dims; `mu_p`/`K_p` are shared (broadcast) like the reference's
+    prior arguments.
+
+    mu_q: (..., M); scale_tril_q: (..., M, M) (lower-triangular, from the
+    variational sqrt parameter); mu_p: (M,); K_p: (M, M).
+    Returns KL with shape (...,).
+    """
+    m = mu_q.shape[-1]
+    Sigma_q = jnp.einsum("...ij,...kj->...ik", scale_tril_q, scale_tril_q)
+    Lq = chol_with_jitter(Sigma_q, jitter)
+    Lp = chol_with_jitter(K_p, jitter)
+
+    logdet_q = jnp.sum(jnp.log(jnp.diagonal(Lq, axis1=-2, axis2=-1)), axis=-1)
+    logdet_p = jnp.sum(jnp.log(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1)
+
+    # trace(Kp^{-1} Sigma_q) = || Lp^{-1} Lq ||_F^2   (batched tri-solve)
+    def tri_solve(lq):
+        return jax.scipy.linalg.solve_triangular(Lp, lq, lower=True)
+
+    A = tri_solve(Lq.reshape((-1, m, m)).transpose(1, 0, 2).reshape(m, -1))
+    A = A.reshape(m, -1, m).transpose(1, 0, 2).reshape(Lq.shape)
+    trace_term = jnp.sum(A**2, axis=(-2, -1))
+
+    # Mahalanobis (mu_p - mu_q)ᵀ Kp^{-1} (mu_p - mu_q)
+    diff = mu_p - mu_q
+    sol = jax.scipy.linalg.solve_triangular(
+        Lp, diff.reshape(-1, m).T, lower=True
+    ).T.reshape(diff.shape)
+    maha = jnp.sum(sol**2, axis=-1)
+
+    return (logdet_p - logdet_q) + 0.5 * (trace_term + maha - m)

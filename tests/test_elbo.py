@@ -1,0 +1,150 @@
+"""CNMGP ELBO correctness: finiteness, masking, gradient flow.
+
+Covers the SURVEY §7.3 hard parts: the stochastic KL coupling (gradient of
+the ELBO w.r.t. mu_v must flow through the Gibbs kernel into the W-prior)
+via a finite-difference check, and pad-and-mask invariants for static-shape
+heterotopic batching.  All evaluations are jitted (eager JAX dispatch of
+this many small ops is ~1000x slower).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import cnmgp
+
+D, M, B = 3, 8, 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = cnmgp.init_params(k1, D, M, dtype=jnp.float64)
+    Z = jnp.linspace(0.0, 1.0, M)
+    x = jax.random.uniform(k2, (B,), dtype=jnp.float64)
+    idx = jax.random.randint(k3, (B,), 0, D)
+    y = jnp.sin(4 * x) + 0.1 * jax.random.normal(k2, (B,), dtype=jnp.float64)
+    w = jnp.ones((B,), jnp.float64)
+    loss = jax.jit(
+        lambda p, k: cnmgp.negative_selbo(p, Z, x, y, idx, w, float(B), k)
+    )
+    return params, Z, x, y, idx, w, loss
+
+
+def test_negative_selbo_finite(setup):
+    params, Z, x, y, idx, w, loss = setup
+    assert np.isfinite(float(loss(params, jax.random.PRNGKey(1))))
+
+
+def test_gradients_finite_all_leaves(setup):
+    params, Z, x, y, idx, w, loss = setup
+    g = jax.jit(jax.grad(lambda p: loss(p, jax.random.PRNGKey(1))))(params)
+    for name, leaf in zip(params._fields, g):
+        assert np.all(np.isfinite(np.asarray(leaf))), name
+        assert np.any(np.asarray(leaf) != 0), f"zero grad for {name}"
+
+
+def test_padded_rows_have_zero_gradient(setup):
+    """Zero-weight (padding) rows must not contribute to the loss gradient."""
+    params, Z, x, y, idx, w, _ = setup
+    pad = 5
+    xp = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+    yp = jnp.concatenate([y, jnp.full((pad,), 123.0, y.dtype)])
+    ip = jnp.concatenate([idx, jnp.zeros(pad, idx.dtype)])
+    wp = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+
+    gy = np.asarray(
+        jax.jit(
+            jax.grad(
+                lambda yy: cnmgp.negative_selbo(
+                    params, Z, xp, yy, ip, wp, float(B), jax.random.PRNGKey(2)
+                )
+            )
+        )(yp)
+    )
+    assert np.all(gy[-pad:] == 0.0)
+    assert np.any(gy[:-pad] != 0.0)
+
+
+def test_stochastic_kl_coupling_fd():
+    """Finite-difference vs autodiff gradient w.r.t. mu_v.
+
+    The W-prior K_G(Z,Z) depends on the *sampled* ell(Z) = exp(v), so the
+    gradient must flow through the Gibbs kernel into mu_v (SURVEY §7.3).
+    Same RNG key on both sides makes the stochastic objective deterministic.
+    """
+    key = jax.random.PRNGKey(0)
+    params = cnmgp.init_params(key, 2, 5, dtype=jnp.float64)
+    Z = jnp.linspace(0.0, 1.0, 5)
+    x = jnp.linspace(0.05, 0.95, 12)
+    idx = jnp.asarray(np.tile([0, 1], 6), jnp.int32)
+    y = jnp.cos(3 * x)
+    w = jnp.ones(12, jnp.float64)
+    k = jax.random.PRNGKey(7)
+
+    f = jax.jit(
+        lambda mu_v: cnmgp.negative_selbo(
+            params._replace(mu_v=mu_v), Z, x, y, idx, w, 12.0, k
+        )
+    )
+    g_auto = np.asarray(jax.jit(jax.grad(f))(params.mu_v))
+    eps = 1e-6
+    g_fd = np.zeros_like(g_auto)
+    for i in range(5):
+        e = np.zeros(5)
+        e[i] = eps
+        g_fd[i] = (float(f(params.mu_v + e)) - float(f(params.mu_v - e))) / (2 * eps)
+    np.testing.assert_allclose(g_auto, g_fd, rtol=1e-4, atol=1e-6)
+    assert np.any(np.abs(g_auto) > 1e-8)
+
+
+def test_elbo_estimate_consistent_with_loss(setup):
+    """E[-loss] over keys equals elbo_estimate within Monte-Carlo error."""
+    params, Z, x, y, idx, w, loss = setup
+    n = 256
+    losses = jax.jit(jax.vmap(lambda k: loss(params, k)))(
+        jax.random.split(jax.random.PRNGKey(3), n)
+    )
+    elbo = float(
+        jax.jit(
+            lambda k: cnmgp.elbo_estimate(params, Z, x, y, idx, k, n_sample=n)
+        )(jax.random.PRNGKey(4))
+    )
+    neg_mean = -float(jnp.mean(losses))
+    sem = float(jnp.std(losses)) / np.sqrt(n)
+    assert abs(neg_mean - elbo) < 8 * sem + 1.0
+
+
+def test_minibatch_scaling():
+    """Full-data loss ~ E[minibatch loss] via the N/|B| factor (in
+    expectation over batch selection and rng)."""
+    key = jax.random.PRNGKey(0)
+    params = cnmgp.init_params(key, 2, 6, dtype=jnp.float64)
+    Z = jnp.linspace(0.0, 1.0, 6)
+    N = 64
+    x = jnp.linspace(0, 1, N)
+    idx = jnp.asarray(np.tile([0, 1], N // 2), jnp.int32)
+    y = jnp.sin(5 * x)
+    w = jnp.ones(N, jnp.float64)
+
+    full = jnp.mean(
+        jax.jit(
+            jax.vmap(
+                lambda k: cnmgp.negative_selbo(params, Z, x, y, idx, w, float(N), k)
+            )
+        )(jax.random.split(jax.random.PRNGKey(5), 128))
+    )
+
+    def mb_loss(k):
+        k1, k2 = jax.random.split(k)
+        sel = jax.random.choice(k1, N, (16,), replace=False)
+        return cnmgp.negative_selbo(
+            params, Z, x[sel], y[sel], idx[sel], jnp.ones(16, jnp.float64), float(N), k2
+        )
+
+    mb = jnp.mean(
+        jax.jit(jax.vmap(mb_loss))(jax.random.split(jax.random.PRNGKey(6), 256))
+    )
+    assert abs(float(full) - float(mb)) / abs(float(full)) < 0.1

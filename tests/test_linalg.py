@@ -1,0 +1,152 @@
+"""Linear-algebra primitives vs dense NumPy oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+    conditional_projection,
+    diag_indices_of_trilvec,
+    kl_gaussian,
+    lvec_to_uvec,
+    mgp_mean_var,
+    psd_solve,
+    sample_full_cov,
+    tril_mask,
+    tril_to_vec,
+    uvec_to_lvec,
+    vec_to_tril,
+)
+
+RNG = np.random.default_rng(1)
+JITTER = 1e-4
+
+
+def rand_spd(n, scale=1.0):
+    A = RNG.normal(size=(n, n))
+    return scale * (A @ A.T + n * np.eye(n))
+
+
+def test_vec_tril_roundtrip():
+    n = 5
+    v = RNG.normal(size=n * (n + 1) // 2)
+    L = vec_to_tril(jnp.asarray(v), n)
+    assert np.allclose(np.triu(np.asarray(L), 1), 0)
+    np.testing.assert_allclose(tril_to_vec(L, n), v)
+
+
+def test_uvec_lvec_roundtrip():
+    n = 4
+    u = RNG.normal(size=n * (n + 1) // 2)
+    l = uvec_to_lvec(jnp.asarray(u), n)
+    back = lvec_to_uvec(l, n)
+    np.testing.assert_allclose(back, u, rtol=1e-12)
+    didx = diag_indices_of_trilvec(n)
+    np.testing.assert_allclose(np.asarray(l)[didx], np.exp(u[didx]))
+
+
+def test_psd_solve():
+    K = rand_spd(6)
+    B = RNG.normal(size=(6, 3))
+    X = np.asarray(psd_solve(jnp.asarray(K), jnp.asarray(B), JITTER))
+    np.testing.assert_allclose((K + JITTER * np.eye(6)) @ X, B, rtol=1e-8, atol=1e-8)
+
+
+def test_conditional_projection():
+    K22 = rand_spd(4)
+    K12 = RNG.normal(size=(7, 4))
+    P = np.asarray(conditional_projection(jnp.asarray(K12), jnp.asarray(K22), JITTER))
+    expected = K12 @ np.linalg.inv(K22 + JITTER * np.eye(4))
+    np.testing.assert_allclose(P, expected, rtol=1e-8, atol=1e-10)
+
+
+def test_mgp_mean_var_vs_naive():
+    """Marginalized sparse-GP stats vs a direct computation, batched."""
+    N, M, T = 6, 4, 3
+    K22 = rand_spd(M)
+    K12 = RNG.normal(size=(N, M))
+    d11 = np.abs(RNG.normal(size=N)) + 1.0
+    mu = RNG.normal(size=(T, M))
+    A = RNG.normal(size=(T, M, M))
+    Sigma = np.einsum("tij,tkj->tik", A, A)
+    P = K12 @ np.linalg.inv(K22 + JITTER * np.eye(M))
+    mean, var = mgp_mean_var(
+        jnp.asarray(P), jnp.asarray(K12), jnp.asarray(d11), jnp.asarray(mu), jnp.asarray(Sigma)
+    )
+    exp_mean = mu @ P.T
+    exp_var = np.stack(
+        [d11 - np.sum(P * K12, -1) + np.diag(P @ Sigma[t] @ P.T) for t in range(T)]
+    )
+    np.testing.assert_allclose(mean, exp_mean, rtol=1e-8)
+    np.testing.assert_allclose(var, exp_var, rtol=1e-7)
+
+
+def kl_dense_oracle(mu_q, Sq, mu_p, Sp):
+    """Standard closed-form KL(N_q || N_p) in plain numpy."""
+    n = len(mu_q)
+    iSp = np.linalg.inv(Sp)
+    d = mu_p - mu_q
+    return 0.5 * (
+        np.log(np.linalg.det(Sp) / np.linalg.det(Sq))
+        + np.trace(iSp @ Sq)
+        + d @ iSp @ d
+        - n
+    )
+
+
+def test_kl_gaussian_vs_oracle():
+    M = 5
+    Lq = np.tril(RNG.normal(size=(M, M)))
+    mu_q = RNG.normal(size=M)
+    Kp = rand_spd(M)
+    mu_p = np.zeros(M)
+    got = float(
+        kl_gaussian(jnp.asarray(mu_q), jnp.asarray(Lq), jnp.asarray(mu_p), jnp.asarray(Kp), JITTER)
+    )
+    Sq = Lq @ Lq.T + JITTER * np.eye(M)
+    Sp = Kp + JITTER * np.eye(M)
+    np.testing.assert_allclose(got, kl_dense_oracle(mu_q, Sq, mu_p, Sp), rtol=1e-8)
+
+
+def test_kl_gaussian_batched():
+    M, B = 4, 3
+    Lqs = np.stack([np.tril(RNG.normal(size=(M, M))) for _ in range(B)])
+    mus = RNG.normal(size=(B, M))
+    Kp = rand_spd(M)
+    got = np.asarray(
+        kl_gaussian(jnp.asarray(mus), jnp.asarray(Lqs), jnp.zeros(M), jnp.asarray(Kp), JITTER)
+    )
+    Sp = Kp + JITTER * np.eye(M)
+    for b in range(B):
+        Sq = Lqs[b] @ Lqs[b].T + JITTER * np.eye(M)
+        np.testing.assert_allclose(got[b], kl_dense_oracle(mus[b], Sq, np.zeros(M), Sp), rtol=1e-8)
+
+
+def test_kl_zero_when_equal():
+    M = 4
+    Kp = rand_spd(M)
+    Lq = np.linalg.cholesky(Kp)
+    got = float(kl_gaussian(jnp.zeros(M), jnp.asarray(Lq), jnp.zeros(M), jnp.asarray(Kp), JITTER))
+    assert abs(got) < 1e-8
+
+
+def test_sample_full_cov_moments():
+    """Statistical check: sample covariance ~ L Lᵀ + jitter I."""
+    M = 3
+    Lq = np.tril(RNG.normal(size=(M, M))) + 2 * np.eye(M)
+    mu = RNG.normal(size=M)
+    keys = jax.random.split(jax.random.PRNGKey(0), 20000)
+    draws = jax.jit(
+        jax.vmap(lambda k: sample_full_cov(k, jnp.asarray(mu), jnp.asarray(Lq), JITTER))
+    )(keys)
+    draws = np.asarray(draws)
+    np.testing.assert_allclose(draws.mean(0), mu, atol=0.05)
+    emp_cov = np.cov(draws.T)
+    np.testing.assert_allclose(emp_cov, Lq @ Lq.T + JITTER * np.eye(M), atol=0.15)
+
+
+def test_tril_mask():
+    X = RNG.normal(size=(2, 4, 4))
+    out = np.asarray(tril_mask(jnp.asarray(X)))
+    assert np.allclose(np.triu(out[0], 1), 0)
+    np.testing.assert_allclose(np.tril(out[1]), np.tril(X[1]))
