@@ -1,0 +1,93 @@
+"""Benchmark: DSVI ELBO steps/s on the PM2.5-sub-shaped workload.
+
+Workload mirrors the reference's largest committed batch-size study
+(NMGP_PM25.py: D=6 outputs, M=100 inducing points, minibatch B=2000 from
+N=28,768 observations — BASELINE.md "Throughput" table).  One training step =
+minibatch negative-SELBO + Adam update, steps fused via lax.scan.
+
+Baseline: the reference implementation (torch 1.x API, float64, CPU) measured
+ON THIS HOST with API shims: 2.447 steps/s (0.409 s/step), same D/M/B/N
+(measured 2026-08-17, /tmp/ref_bench.py; reference hot loop
+nmgp_dsvi.py:827-874).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.dsvi import (
+    freeze_mask,
+    make_scan_epochs,
+)
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import cnmgp
+
+REF_STEPS_PER_S = 2.4471  # reference torch-CPU on this host, see module docstring
+
+D, M, B, N = 6, 100, 2000, 28768
+
+
+def main():
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    x_np = np.sort(rng.random(N)).astype(np.float32)
+    idx_np = rng.integers(0, D, N).astype(np.int32)
+    y_np = (np.sin(7 * x_np) + 0.1 * rng.standard_normal(N)).astype(np.float32)
+
+    x = jnp.asarray(x_np)
+    y = jnp.asarray(y_np)
+    idx = jnp.asarray(idx_np)
+    Z = jnp.linspace(0.0, 1.0, M, dtype=dtype)
+
+    key = jax.random.PRNGKey(0)
+    params = cnmgp.init_params(key, D, M, dtype=dtype)
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(params)
+    grad_mask = freeze_mask(params, fix_hyperpars=True)
+
+    num_batches = -(-N // B)  # 15 steps per epoch
+    run_epochs = make_scan_epochs(optimizer, float(N), 1e-4, num_batches, B)
+
+    # warmup / compile (same n_epochs: it is a static arg — different values
+    # would recompile inside the timed region)
+    n_epochs = 8
+    params2, opt2, losses = run_epochs(
+        params, opt_state, grad_mask, Z, x, y, idx, jax.random.PRNGKey(1), n_epochs
+    )
+    assert np.isfinite(float(losses[-1])), "non-finite training loss"
+
+    steps = n_epochs * num_batches
+    rates = []
+    for i in range(3):
+        t0 = time.time()
+        _, _, losses = run_epochs(
+            params, opt_state, grad_mask, Z, x, y, idx, jax.random.PRNGKey(2 + i), n_epochs
+        )
+        # explicit host fetch — block_until_ready on the remote axon buffer
+        # can return before the value is materialized
+        float(losses[-1])
+        rates.append(steps / (time.time() - t0))
+    steps_per_s = float(np.median(rates))
+
+    print(
+        json.dumps(
+            {
+                "metric": "dsvi_elbo_steps_per_s_pm25sub",
+                "value": round(steps_per_s, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_s / REF_STEPS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

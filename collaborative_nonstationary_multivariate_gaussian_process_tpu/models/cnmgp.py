@@ -180,7 +180,9 @@ def _sample_latents(
     sampled_v = sample_full_cov(k_v, params.mu_v, tril_mask(params.sqrt_v), jitter)
     P_te = conditional_projection(K_te_12, K_te_22, jitter)
     mu_te = mgp_mean(P_te, sampled_v)
-    var_te = s2_te - jnp.sum(P_te * K_te_12, axis=-1)
+    # clamp the Nystrom residual: float32 cancellation can exceed the
+    # reparameterize jitter at large M (see ops/linalg.mgp_mean_var)
+    var_te = jnp.maximum(s2_te - jnp.sum(P_te * K_te_12, axis=-1), 0.0)
     tilde_ell = sample_diag(k_te, mu_te, var_te, jitter)
     ell_Z = jnp.exp(sampled_v)
     ell_X = jnp.exp(tilde_ell)

@@ -191,7 +191,11 @@ def mgp_mean_var(P, K12, d11, mu, Sigma):
     Returns mean (..., N), var (..., N).
     """
     mean = jnp.einsum("nm,...m->...n", P, mu)
-    base = d11 - jnp.sum(P * K12, axis=-1)
+    # The Nystrom residual d11 - sum(P*K12) is >= 0 in exact arithmetic but
+    # can cancel slightly negative in float32 at large M — clamp so the
+    # downstream sqrt stays finite (the reference's +1e-4 jitter inside
+    # reparameterize only absorbs errors up to 1e-4).
+    base = jnp.maximum(d11 - jnp.sum(P * K12, axis=-1), 0.0)
     corr = jnp.einsum("nm,...mk,nk->...n", P, Sigma, P)
     return mean, base + corr
 
