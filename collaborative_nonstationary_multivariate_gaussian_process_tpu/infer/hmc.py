@@ -148,7 +148,10 @@ def find_reasonable_step_size(log_prob_fn, state: HMCState, key, inv_mass, init_
         eps, it = carry
         return eps * jnp.exp2(direction), it + 1
 
-    eps, _ = jax.lax.while_loop(cond, body, (jnp.asarray(init_eps, state.position.dtype), 0))
+    # tie the initial eps to the (per-chain) state so the while_loop carry
+    # has a consistent varying-axis type under shard_map
+    eps0 = jnp.asarray(init_eps, state.position.dtype) + 0.0 * state.log_prob
+    eps, _ = jax.lax.while_loop(cond, body, (eps0, 0))
     return eps
 
 
@@ -202,12 +205,14 @@ def run_hmc(
         m2 = ws.m2 + jnp.where(in_window, delta * (new_hmc.position - mean), 0.0)
         return (WarmupState(new_hmc, da, mean, m2, cnt), inv_mass), ap
 
+    # zeros tied to the state keep the varying-axis type consistent when this
+    # function runs inside shard_map (see shard_map scan-vma docs)
     ws0 = WarmupState(
         hmc=state,
         da=da_init(eps0),
-        mean=jnp.zeros(dim, dtype),
-        m2=jnp.zeros(dim, dtype),
-        count=jnp.zeros((), dtype),
+        mean=0.0 * state.position,
+        m2=0.0 * state.position,
+        count=0.0 * state.log_prob,
     )
     keys = jax.random.split(k_warm, num_warmup)
     (ws, _), warm_aps = jax.lax.scan(
@@ -221,6 +226,24 @@ def run_hmc(
     else:
         inv_mass = inv_mass0
     eps_final = jnp.exp(ws.da.log_eps_bar)
+
+    # re-adapt the step size under the new mass matrix (the warmup step size
+    # was tuned for unit mass and is generally far too large afterwards)
+    n_readapt = max(num_warmup // 4, 1)
+
+    def readapt_body(carry, k):
+        st, da = carry
+        st, ap = hmc_kernel(log_prob_fn, st, k, jnp.exp(da.log_eps), inv_mass, num_steps)
+        return (st, da_update(da, ap, target_accept)), None
+
+    k_warm2 = jax.random.fold_in(k_warm, 1)
+    (state_r, da_r), _ = jax.lax.scan(
+        readapt_body,
+        (ws.hmc, da_init(eps_final)),
+        jax.random.split(k_warm2, n_readapt),
+    )
+    ws = ws._replace(hmc=state_r)
+    eps_final = jnp.exp(da_r.log_eps_bar)
 
     def main_body(hmc_state, k):
         ks = jax.random.split(k, thin)

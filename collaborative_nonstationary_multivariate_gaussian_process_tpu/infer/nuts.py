@@ -359,12 +359,14 @@ def run_nuts(
         m2 = m2 + jnp.where(in_w, delta * (st.position - mean), 0.0)
         return (st, da, mean, m2, cnt), info.accept_prob
 
+    # zeros tied to the state keep the varying-axis type consistent when this
+    # function runs inside shard_map (see shard_map scan-vma docs)
     carry0 = (
         state,
         da_init(eps0),
-        jnp.zeros(dim, dtype),
-        jnp.zeros(dim, dtype),
-        jnp.zeros((), dtype),
+        0.0 * state.position,
+        0.0 * state.position,
+        0.0 * state.log_prob,
     )
     keys = jax.random.split(k_warm, num_warmup)
     (state, da, mean, m2, cnt), warm_aps = jax.lax.scan(
@@ -389,7 +391,9 @@ def run_nuts(
         return (st, da), None
 
     (state, da2), _ = jax.lax.scan(
-        readapt_body, (state, da_init(eps_final)), jax.random.split(k_warm, n_readapt)
+        readapt_body,
+        (state, da_init(eps_final)),
+        jax.random.split(jax.random.fold_in(k_warm, 1), n_readapt),
     )
     eps_final = jnp.exp(da2.log_eps_bar)
 

@@ -1,2 +1,2 @@
-from . import cnmgp, predict  # noqa: F401
+from . import cnmgp, initialization, logdensities, predict, prediction  # noqa: F401
 from .cnmgp import CNMGPParams, init_params  # noqa: F401

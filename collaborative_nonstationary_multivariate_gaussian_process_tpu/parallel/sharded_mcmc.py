@@ -16,7 +16,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..infer import hmc as hmc_mod
 from ..infer import nuts as nuts_mod
@@ -64,7 +64,6 @@ def run_nuts_sharded(
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=(spec, spec),
-        check_rep=False,
     )
     # dummy run to infer out treedef is unnecessary; shard_map handles pytrees
     positions, info = jax.jit(fn)(init_positions, keys)
@@ -103,7 +102,6 @@ def run_hmc_sharded(
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=(spec, spec),
-        check_rep=False,
     )
     positions, info = jax.jit(fn)(init_positions, keys)
     return positions, info

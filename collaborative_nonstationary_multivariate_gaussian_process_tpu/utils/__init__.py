@@ -1,1 +1,1 @@
-from . import checkpoint, data, metrics  # noqa: F401
+from . import checkpoint, data, empirical, metrics, posterior_analysis, sim  # noqa: F401

@@ -8,6 +8,19 @@ RMSE / 95%-CI length / coverage (nmgp_dsvi.py:1050-1068).
 """
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
+
+if "--cpu" in sys.argv:
+    # NOTE: env JAX_PLATFORMS=cpu does NOT work on this image (the TPU
+    # plugin registers at interpreter startup); lazy config update does.
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+if "--x64" in sys.argv:
+    sys.argv.remove("--x64")
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
 import json
 import sys
 import time

@@ -1,0 +1,142 @@
+"""End-to-end DSVI: short training on the shipped reference fixture.
+
+Uses the reference's own simulation pickle as a fixed fixture
+(SURVEY.md §4: shipped pickles as fixtures).  Full parity (2000 epochs,
+10 seeds) runs in scripts/sim_parity.py; here a short run checks the
+training loop plumbing: loss decreases, ELBO improves, prediction APIs
+produce sane output, checkpoint round-trips.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.dsvi import (
+    apply_hyperpars,
+    inference,
+)
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import cnmgp
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.models.predict import (
+    predict_Y,
+    sample_FY,
+    sample_Y,
+)
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.data import (
+    load_sim_pickle,
+)
+
+PICKLE = "/root/reference/data/simulation/sim_illustration_low_freq.pickle"
+HYPERPARS = {
+    "sigma2_L0_log": 0,
+    "length_scales_L0_log": 2,
+    "sigma2_L1_log": 0,
+    "length_scales_L1_log": 2,
+    "sigma2_tildeell_log": 0,
+    "length_scales_tildeell_log": 0,
+    "sigma2_err_log": -2,
+}
+
+
+@pytest.fixture(scope="module")
+def trained():
+    X_list, Y_list, Xt_list, Yt_list = load_sim_pickle(PICKLE)
+    z = np.linspace(0, 1, 10)
+    res = inference(
+        X_list,
+        Y_list,
+        z,
+        batch_size=0,
+        dim_outputs=2,
+        lr=0.01,
+        itnum=150,
+        hyperpars=HYPERPARS,
+        fix_hyperpars=True,
+        seed=0,
+        show_ELBO=True,
+        elbo_every=50,
+        elbo_samples=30,
+    )
+    return res, (X_list, Y_list, Xt_list, Yt_list)
+
+
+def test_loss_decreases(trained):
+    res, _ = trained
+    losses = np.asarray(res.loss_list)
+    assert np.all(np.isfinite(losses))
+    assert np.mean(losses[-10:]) < 0.5 * np.mean(losses[:10])
+
+
+def test_elbo_improves(trained):
+    res, _ = trained
+    assert res.elbo_trace[-1] > res.elbo_trace[0]
+
+
+def test_hyperpars_applied_and_frozen(trained):
+    res, _ = trained
+    # frozen length scales keep their override values exactly
+    assert float(res.params.length_scales_L0_log) == 2.0
+    assert float(res.params.length_scales_tildeell_log) == 0.0
+    # non-frozen hyperparameters moved
+    assert float(res.params.sigma2_err_log) != -2.0
+
+
+def test_sample_Y_shapes_and_quality(trained):
+    res, (X_list, Y_list, Xt_list, Yt_list) = trained
+    ys, ls, gs, tes = sample_Y(res.params, res.Z, Xt_list, n_sample=50, seed=0)
+    n_test = sum(len(np.asarray(x).reshape(-1)) for x in Xt_list)
+    assert ys.shape == (50, n_test)
+    assert ls.shape == (50, n_test, 2)
+    assert gs.shape == (50, 2, n_test)
+    assert tes.shape == (50, n_test)
+    # posterior-mean RMSE should beat the trivial predictor after 150 epochs
+    y_test = np.concatenate([np.asarray(y).reshape(-1) for y in Yt_list])
+    rmse = np.sqrt(np.mean((ys.mean(0) - y_test) ** 2))
+    assert rmse < np.std(y_test)
+
+
+def test_sample_FY_correlations_valid(trained):
+    res, _ = trained
+    grid = np.linspace(0, 1, 20)
+    tes, ys, corrs = sample_FY(res.params, res.Z, grid, n_sample=20, seed=0)
+    assert corrs.shape == (20, 20, 2, 2)
+    d = np.diagonal(corrs, axis1=-2, axis2=-1)
+    np.testing.assert_allclose(d, 1.0, atol=1e-5)
+    assert np.all(np.abs(corrs) <= 1.0 + 1e-6)
+
+
+def test_predict_Y_matches_sample_mean(trained):
+    res, (X_list, Y_list, Xt_list, Yt_list) = trained
+    est = predict_Y(res.params, res.Z, Xt_list)
+    ys, _, _, _ = sample_Y(res.params, res.Z, Xt_list, n_sample=400, seed=1)
+    # plug-in mean and posterior-mean-of-draws agree loosely (nonlinearities
+    # in exp(L_ii) make them differ at second order)
+    corr = np.corrcoef(est, ys.mean(0))[0, 1]
+    assert corr > 0.9
+
+
+def test_checkpoint_roundtrip(tmp_path, trained):
+    res, (X_list, Y_list, *_ ) = trained
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils import (
+        checkpoint as ckpt,
+    )
+
+    path = os.path.join(tmp_path, "model.ckpt")
+    import optax
+
+    opt_state = optax.adam(0.01).init(res.params)
+    ckpt.save_train_state(path, res.params, opt_state, epoch=150, loss=1.0)
+    p2, o2 = ckpt.load_train_state(path, res.params, opt_state)
+    for a, b in zip(jax.tree_util.tree_leaves(res.params), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_apply_hyperpars_intended_semantics():
+    """The reference writes sigma2_L1_log into sigma2_L0_log
+    (nmgp_dsvi.py:784-785, copy-paste bug); we implement the intent."""
+    params = cnmgp.init_params(jax.random.PRNGKey(0), 2, 4, dtype=jnp.float64)
+    out = apply_hyperpars(params, {"sigma2_L1_log": 3.0})
+    assert float(out.sigma2_L1_log) == 3.0
+    assert float(out.sigma2_L0_log) == float(params.sigma2_L0_log)

@@ -1,0 +1,134 @@
+"""Sampler correctness: HMC / NUTS / SMC on tractable targets.
+
+Statistical validation in the reference's spirit (SURVEY.md §4.3): known
+Gaussian targets give exact moments and an exact log marginal likelihood.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.hmc import (
+    run_hmc,
+)
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.nuts import (
+    run_nuts,
+)
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.smc import (
+    run_smc,
+)
+
+DIM = 4
+RNG = np.random.default_rng(4)
+A = RNG.standard_normal((DIM, DIM))
+COV = A @ A.T + DIM * np.eye(DIM)
+MEAN = np.array([1.0, -2.0, 0.5, 3.0])
+PREC = np.linalg.inv(COV)
+
+
+def gauss_lp(q):
+    d = q - jnp.asarray(MEAN)
+    return -0.5 * d @ jnp.asarray(PREC) @ d
+
+
+def _check_moments(samples, mean_tol, cov_tol):
+    m = samples.mean(axis=0)
+    np.testing.assert_allclose(m, MEAN, atol=mean_tol)
+    c = np.cov(samples.T)
+    np.testing.assert_allclose(c, COV, atol=cov_tol * np.max(np.abs(COV)))
+
+
+def test_hmc_gaussian_moments():
+    q0 = jnp.zeros(DIM)
+    samples, info = jax.jit(
+        lambda q, k: run_hmc(gauss_lp, q, k, num_warmup=400, num_samples=2000, num_steps=16)
+    )(q0, jax.random.PRNGKey(0))
+    samples = np.asarray(samples)
+    assert 0.4 < float(np.mean(info["accept_prob"])) <= 1.0
+    _check_moments(samples, mean_tol=0.4, cov_tol=0.25)
+
+
+def test_nuts_gaussian_moments():
+    q0 = jnp.zeros(DIM)
+    samples, info = jax.jit(
+        lambda q, k: run_nuts(gauss_lp, q, k, num_warmup=400, num_samples=2000, max_depth=8)
+    )(q0, jax.random.PRNGKey(1))
+    samples = np.asarray(samples)
+    assert float(np.mean(info["diverging"])) < 0.02
+    assert 0.5 < float(np.mean(info["accept_prob"])) <= 1.0
+    _check_moments(samples, mean_tol=0.3, cov_tol=0.2)
+
+
+def test_nuts_multi_chain_vmap():
+    q0s = jnp.asarray(RNG.standard_normal((4, DIM)))
+    keys = jax.random.split(jax.random.PRNGKey(2), 4)
+    samples, info = jax.jit(
+        jax.vmap(
+            lambda q, k: run_nuts(gauss_lp, q, k, num_warmup=300, num_samples=800, max_depth=8)
+        )
+    )(q0s, keys)
+    samples = np.asarray(samples)  # (4, 800, DIM)
+    pooled = samples.reshape(-1, DIM)
+    _check_moments(pooled, mean_tol=0.3, cov_tol=0.2)
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.sharded_mcmc import (
+        potential_scale_reduction,
+    )
+
+    rhat = np.asarray(potential_scale_reduction(jnp.asarray(samples)))
+    assert np.all(rhat < 1.1), rhat
+
+
+def test_smc_log_marginal_likelihood():
+    """Conjugate check: prior N(0, s0 I), likelihood N(y | q, s1 I) at a
+    single 'observation' y — log Z analytic."""
+    s0, s1 = 2.0, 0.5
+    y = jnp.asarray(np.array([0.7, -0.3]))
+    d = 2
+
+    def log_prior(q):
+        return -0.5 * jnp.sum(q**2) / s0**2 - d * jnp.log(s0) - 0.5 * d * jnp.log(2 * jnp.pi)
+
+    def log_like(q):
+        return -0.5 * jnp.sum((y - q) ** 2) / s1**2 - d * jnp.log(s1) - 0.5 * d * jnp.log(
+            2 * jnp.pi
+        )
+
+    # analytic evidence: y ~ N(0, (s0^2 + s1^2) I)
+    var = s0**2 + s1**2
+    log_z_true = float(
+        -0.5 * np.sum(np.asarray(y) ** 2) / var - 0.5 * d * np.log(2 * np.pi * var)
+    )
+
+    P = 1024
+    init = s0 * jax.random.normal(jax.random.PRNGKey(3), (P, d))
+    final, info = jax.jit(
+        lambda q0, k: run_smc(log_prior, log_like, q0, k, num_mutations=4, num_leapfrog=8)
+    )(init, jax.random.PRNGKey(4))
+    log_z = float(info["log_z"])
+    assert abs(log_z - log_z_true) < 0.15, (log_z, log_z_true)
+    # posterior mean check: mu_post = y * s0^2/(s0^2+s1^2)
+    mu_post = np.asarray(y) * s0**2 / var
+    np.testing.assert_allclose(np.asarray(final).mean(axis=0), mu_post, atol=0.1)
+
+
+def test_hmc_on_snmgp_density_runs():
+    """Smoke: short NUTS chain on the real SNMGP log-posterior."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import (
+        logdensities as ld,
+    )
+
+    N, M = 6, 2
+    x = jnp.asarray(np.sort(RNG.random(N)))
+    Y = jnp.asarray(RNG.standard_normal((N, M)))
+    dim = 2 * N + ld.tri_size(M) + 1
+
+    def lp(pars):
+        return ld.snmgp_log_posterior(pars, Y, x)
+
+    q0 = jnp.asarray(0.1 * RNG.standard_normal(dim))
+    samples, info = jax.jit(
+        lambda q, k: run_nuts(lp, q, k, num_warmup=100, num_samples=100, max_depth=6)
+    )(q0, jax.random.PRNGKey(5))
+    assert np.all(np.isfinite(np.asarray(samples)))
+    assert float(np.mean(info["accept_prob"])) > 0.3
