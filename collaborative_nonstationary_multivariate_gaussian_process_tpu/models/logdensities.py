@@ -160,12 +160,29 @@ def _kron_loglik_robust(y, B_f, K_x, sigma2_err, jitter=PRECISION):
     )
 
 
-def _gp_prior(vals, x, mu, alpha, beta, jitter=MCMC_JITTER):
+def _prior_jitter(dtype, alpha=1.0):
+    """Diagonal jitter for prior-covariance Choleskys, scaled to the signal
+    variance and the dtype's precision.
+
+    The reference runs float64 with absolute jitter 1e-6 (settings.py:3);
+    in float32 a smooth RBF prior (e.g. alpha=3, beta=0.4 over [0,1]) is
+    numerically singular at that jitter and the Cholesky NaNs — use a
+    relative floor ~400x machine epsilon instead.
+    """
+    eps = jnp.finfo(dtype).eps
+    rel = jnp.maximum(jnp.asarray(MCMC_JITTER, dtype), 400.0 * eps)
+    return rel * jnp.asarray(alpha, dtype) ** 2
+
+
+def _gp_prior(vals, x, mu, alpha, beta, jitter=None):
     """Normalized MVN GP prior with RBF covariance (logpos.py:271-279).
 
     The reference's `RBF_cov` adds `settings.jitter` on the diagonal when
-    called with one argument (kernels.py:35); replicated here.
+    called with one argument (kernels.py:35); replicated here with a
+    dtype-aware jitter (see `_prior_jitter`).
     """
+    if jitter is None:
+        jitter = _prior_jitter(x.dtype, alpha)
     S = rbf(x, x, alpha**2, beta) + jitter * jnp.eye(x.shape[0], dtype=x.dtype)
     return mvn_logpdf_chol(vals, mu * jnp.ones_like(vals), S)
 
@@ -293,7 +310,9 @@ def svc_log_posterior(
         res = res + _gp_prior(p.tilde_l, x, mu_tilde_l, alpha_tilde_l, beta_tilde_l)
         # GP prior over each of the T unconstrained Cholesky-entry processes
         U = p.uL_vecs.reshape(N, T)
-        Sigma_L = rbf(x, x, alpha_L**2, beta_L) + MCMC_JITTER * jnp.eye(N, dtype=x.dtype)
+        Sigma_L = rbf(x, x, alpha_L**2, beta_L) + _prior_jitter(x.dtype, alpha_L) * jnp.eye(
+            N, dtype=x.dtype
+        )
         chol = jnp.linalg.cholesky(Sigma_L)
         diff = U - mu_L  # (N, T)
         sol = jax.scipy.linalg.solve_triangular(chol, diff, lower=True)
@@ -433,7 +452,9 @@ def svc_hadamard_log_posterior(
     if prior:
         res = res + _gp_prior(p.tilde_l, x, mu_tilde_l, alpha_tilde_l, beta_tilde_l)
         U = p.uL_vecs.reshape(N, T)
-        Sigma_L = rbf(x, x, alpha_L**2, beta_L) + MCMC_JITTER * jnp.eye(N, dtype=x.dtype)
+        Sigma_L = rbf(x, x, alpha_L**2, beta_L) + _prior_jitter(x.dtype, alpha_L) * jnp.eye(
+            N, dtype=x.dtype
+        )
         chol = jnp.linalg.cholesky(Sigma_L)
         sol = jax.scipy.linalg.solve_triangular(chol, U - mu_L, lower=True)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
@@ -477,6 +498,125 @@ def lmc_hadamard_log_posterior(
         res = res + jnp.sum(_normal_logpdf(p.uL_vec, 0.0, c))
         res = res + inverse_gamma_logpdf_u(sigma2_err, alpha=a, beta=b)
         res = res + p.tilde_sigma2_err
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Whitened (non-centered) parameterizations
+# ---------------------------------------------------------------------------
+#
+# GP latent-field posteriors are stiff in the centered parameterization
+# (SURVEY.md §7.3): the prior correlation structure couples coordinates on
+# wildly different scales.  Whitening maps eta ~ N(0, I) through the prior
+# Cholesky, so NUTS samples a near-isotropic space:
+#   tilde_l = mu + L_prior eta,   L_prior = chol(K_RBF(alpha, beta) + jitter)
+# The prior term on eta is exactly standard normal (the deterministic
+# transform replaces the GP prior; no extra Jacobian since we also *report*
+# in eta-space and transform draws afterwards).
+
+
+def svc_whiten_chols(x, alpha_tilde_l, beta_tilde_l, alpha_L, beta_L):
+    """Prior Choleskys used by the whitened SVC parameterization."""
+    N = x.shape[0]
+    eye = jnp.eye(N, dtype=x.dtype)
+    S_l = rbf(x, x, alpha_tilde_l**2, beta_tilde_l) + _prior_jitter(
+        x.dtype, alpha_tilde_l
+    ) * eye
+    S_L = rbf(x, x, alpha_L**2, beta_L) + _prior_jitter(x.dtype, alpha_L) * eye
+    return jnp.linalg.cholesky(S_l), jnp.linalg.cholesky(S_L)
+
+
+def svc_unwhiten(pars_white, x, mu_tilde_l, mu_L, chol_l, chol_L, M: int):
+    """eta-space flat vector -> centered SVCPars."""
+    N = x.shape[0]
+    T = tri_size(M)
+    p = svc_unflatten(pars_white, N, M)
+    tilde_l = mu_tilde_l + chol_l @ p.tilde_l
+    eta_U = p.uL_vecs.reshape(N, T)
+    U = mu_L + chol_L @ eta_U
+    return SVCPars(tilde_l, U.reshape(-1), p.tilde_sigma2_err)
+
+
+def svc_log_posterior_whitened(
+    pars_white,
+    Y,
+    x,
+    chol_l,
+    chol_L,
+    mu_tilde_l=0.0,
+    mu_L=0.0,
+    a=1.0,
+    b=1.0,
+):
+    """Whitened SVC log posterior: same posterior as `svc_log_posterior`
+    under the transform `svc_unwhiten`, with N(0, I) priors on the etas."""
+    N, M = Y.shape
+    p = svc_unwhiten(pars_white, x, mu_tilde_l, mu_L, chol_l, chol_L, M)
+    y = Y.T.reshape(-1)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    K, _ = svc_covariance(p.tilde_l, p.uL_vecs, x)
+    S = K + sigma2_err * jnp.eye(N * M, dtype=x.dtype)
+    res = mvn_logpdf_dense(y, jnp.zeros_like(y), S)
+    eta = pars_white[:-1]
+    res = res - 0.5 * jnp.sum(eta**2)  # standard-normal prior on all etas
+    res = res + inverse_gamma_logpdf(sigma2_err, alpha=a, beta=b)
+    res = res + p.tilde_sigma2_err
+    return res
+
+
+def snmgp_whiten_chols(
+    x, alpha_tilde_l, beta_tilde_l, alpha_tilde_sigma, beta_tilde_sigma
+):
+    N = x.shape[0]
+    eye = jnp.eye(N, dtype=x.dtype)
+    S_l = rbf(x, x, alpha_tilde_l**2, beta_tilde_l) + _prior_jitter(
+        x.dtype, alpha_tilde_l
+    ) * eye
+    S_s = rbf(x, x, alpha_tilde_sigma**2, beta_tilde_sigma) + _prior_jitter(
+        x.dtype, alpha_tilde_sigma
+    ) * eye
+    return jnp.linalg.cholesky(S_l), jnp.linalg.cholesky(S_s)
+
+
+def snmgp_unwhiten(pars_white, x, mu_tilde_l, mu_tilde_sigma, chol_l, chol_s, M: int):
+    N = x.shape[0]
+    p = snmgp_unflatten(pars_white, N, M)
+    return SNMGPPars(
+        mu_tilde_l + chol_l @ p.tilde_l,
+        mu_tilde_sigma + chol_s @ p.tilde_sigma,
+        p.uL_vec,
+        p.tilde_sigma2_err,
+    )
+
+
+def snmgp_log_posterior_whitened(
+    pars_white,
+    Y,
+    x,
+    chol_l,
+    chol_s,
+    mu_tilde_l=0.0,
+    mu_tilde_sigma=0.0,
+    a=1.0,
+    b=1.0,
+    c=10.0,
+):
+    """Whitened SNMGP log posterior (non-centered tilde_l, tilde_sigma)."""
+    N, M = Y.shape
+    p = snmgp_unwhiten(pars_white, x, mu_tilde_l, mu_tilde_sigma, chol_l, chol_s, M)
+    y = Y.T.reshape(-1)
+    L = vec_to_tril(uvec_to_lvec(p.uL_vec, M), M)
+    B_f = L @ L.T
+    K_x = nonstationary_rbf(
+        x, sigma1=jnp.exp(p.tilde_sigma), ell1=jnp.exp(p.tilde_l)
+    ) + MCMC_JITTER * jnp.eye(N, dtype=x.dtype)
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    res = _kron_loglik_robust(y, B_f, K_x, sigma2_err)
+    pw = snmgp_unflatten(pars_white, N, M)
+    res = res - 0.5 * jnp.sum(pw.tilde_l**2) - 0.5 * jnp.sum(pw.tilde_sigma**2)
+    res = res + jnp.sum(_normal_logpdf(p.uL_vec, 0.0, c))
+    res = res + inverse_gamma_logpdf(sigma2_err, alpha=a, beta=b)
+    res = res + p.tilde_sigma2_err
     return res
 
 

@@ -49,12 +49,16 @@ __all__ = [
 ]
 
 
-def _cond_gp_draw(key, vals, x, x_star, mu, alpha, beta, jitter=MCMC_JITTER):
+def _cond_gp_draw(key, vals, x, x_star, mu, alpha, beta, jitter=None):
     """Conditional draw of a latent GP at x_star given its values at x under
     a stationary RBF prior (prediction.py:52-71 idiom).
 
     Returns a scalar sample.  x: (N,), vals: (N,), x_star: scalar.
     """
+    from .logdensities import _prior_jitter
+
+    if jitter is None:
+        jitter = _prior_jitter(x.dtype, alpha)
     N = x.shape[0]
     S = rbf(x, x, alpha**2, beta) + jitter * jnp.eye(N, dtype=x.dtype)
     kxs = rbf(x, x_star[None], alpha**2, beta)[:, 0]  # (N,)

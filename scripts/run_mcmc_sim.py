@@ -1,0 +1,195 @@
+"""Fully-Bayesian synthetic-truth recovery: NUTS/HMC on the SVC density.
+
+Reproduces the reference's simulation study (SIM_code/sim.py SIM_MNTS +
+external-HMC posterior analysis + synthetic_plot.py overlays): generate the
+nonstationary 2-output series with known truth (tilde_l = 3(x-1)^3 - 3,
+stds 1+x^2 / 2-x^2, correlation cos(pi x)), sample the GNMGP/SVC posterior
+with our native NUTS, and report recovery of the lengthscale and correlation
+processes.
+
+Usage: python3 scripts/run_mcmc_sim.py [--N 100] [--chains 4] [--samples 500]
+       [--cpu]
+"""
+
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--N", type=int, default=100)
+    p.add_argument("--chains", type=int, default=4)
+    p.add_argument("--warmup", type=int, default=400)
+    p.add_argument("--samples", type=int, default=400)
+    p.add_argument("--max-depth", type=int, default=8)
+    p.add_argument("--sampler", choices=["nuts", "hmc"], default="nuts")
+    p.add_argument("--centered", action="store_true",
+                   help="use the centered parameterization (default: whitened)")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.nuts import (
+        run_nuts,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.hmc import (
+        run_hmc,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import (
+        logdensities as ld,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.sim import (
+        sim_mnts,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.empirical import (
+        local_estimation,
+        smooth,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.posterior_analysis import (
+        lvecs_to_corr,
+        samples2quantiles,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        lvec_to_uvec,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.sharded_mcmc import (
+        potential_scale_reduction,
+    )
+
+    N, M = args.N, 2
+    T = ld.tri_size(M)
+    x, true_l, true_L_vecs, true_s2e, Y = sim_mnts(M=M, N=N, seed=0)
+    true_tilde_l = np.log(true_l)
+    true_corr = lvecs_to_corr(true_L_vecs, N, M, constrained=True)[:, 0, 1]
+
+    # --- empirical initialization (reference workflow: local variogram fits)
+    est = local_estimation(x, Y, window_size=max(N // 6, 10))
+    init_tilde_l = np.log(smooth(est["ls"], 10))
+    init_uL = np.asarray(
+        lvec_to_uvec(jnp.asarray(smooth(est["L_vecs"], 10)), M)
+    ).reshape(-1)
+    init = np.concatenate([init_tilde_l, init_uL, [np.log(true_s2e)]])
+    dim = init.shape[0]
+
+    # hyperparameters as the reference's simulation study (sim.py:208)
+    hypers = dict(
+        mu_tilde_l=-3.0, alpha_tilde_l=3.0, beta_tilde_l=0.4,
+        mu_L=0.0, alpha_L=5.0, beta_L=1.0, a=1.0, b=1.0,
+    )
+
+    Yj = jnp.asarray(Y)
+    xj = jnp.asarray(x)
+
+    if args.centered:
+        def lp(pars):
+            return ld.svc_log_posterior(pars, Yj, xj, **hypers)
+    else:
+        # whitened (non-centered) parameterization: NUTS samples
+        # eta ~ near-N(0, I); draws are mapped back afterwards
+        chol_l, chol_L = ld.svc_whiten_chols(
+            xj, hypers["alpha_tilde_l"], hypers["beta_tilde_l"],
+            hypers["alpha_L"], hypers["beta_L"],
+        )
+        import jax.scipy.linalg as jsl
+
+        eta_l = np.asarray(
+            jsl.solve_triangular(
+                chol_l, jnp.asarray(init_tilde_l - hypers["mu_tilde_l"]), lower=True
+            )
+        )
+        eta_U = np.asarray(
+            jsl.solve_triangular(
+                chol_L,
+                jnp.asarray(init_uL.reshape(N, T) - hypers["mu_L"]),
+                lower=True,
+            )
+        )
+        init = np.concatenate([eta_l, eta_U.reshape(-1), [np.log(true_s2e)]])
+
+        def lp(pars):
+            return ld.svc_log_posterior_whitened(
+                pars, Yj, xj, chol_l, chol_L,
+                mu_tilde_l=hypers["mu_tilde_l"], mu_L=hypers["mu_L"],
+                a=hypers["a"], b=hypers["b"],
+            )
+
+    key = jax.random.PRNGKey(0)
+    inits = jnp.asarray(init)[None, :] + 0.01 * jax.random.normal(
+        key, (args.chains, dim)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(1), args.chains)
+
+    runner = run_nuts if args.sampler == "nuts" else run_hmc
+    kwargs = (
+        dict(num_warmup=args.warmup, num_samples=args.samples, max_depth=args.max_depth)
+        if args.sampler == "nuts"
+        else dict(num_warmup=args.warmup, num_samples=args.samples, num_steps=32)
+    )
+
+    t0 = time.time()
+    samples, info = jax.jit(
+        jax.vmap(lambda q, k: runner(lp, q, k, **kwargs))
+    )(inits, keys)
+    samples = np.asarray(samples)  # (chains, S, dim)
+    wall = time.time() - t0
+    total_draws = args.chains * args.samples
+
+    # --- recovery metrics -------------------------------------------------
+    if not args.centered:
+        # map whitened draws back to the centered space for analysis
+        flat = samples.reshape(-1, dim)
+        eta_l = flat[:, :N]
+        eta_U = flat[:, N : N + N * T].reshape(-1, N, T)
+        tl = hypers["mu_tilde_l"] + eta_l @ np.asarray(chol_l).T
+        U = hypers["mu_L"] + np.einsum("nk,skt->snt", np.asarray(chol_L), eta_U)
+        flat = np.concatenate([tl, U.reshape(-1, N * T), flat[:, -1:]], axis=1)
+        samples = flat.reshape(args.chains, args.samples, dim)
+    pooled = samples.reshape(-1, dim)
+    tl_hist = pooled[:, :N]
+    uL_hist = pooled[:, N : N + N * T]
+    tl_q = samples2quantiles(tl_hist)  # (3, N)
+    corr_hist = lvecs_to_corr(uL_hist, N, M)[:, :, 0, 1]  # (S, N)
+    corr_q = samples2quantiles(corr_hist)
+
+    rmse_tl = float(np.sqrt(np.mean((tl_q[1] - true_tilde_l) ** 2)))
+    rmse_corr = float(np.sqrt(np.mean((corr_q[1] - true_corr) ** 2)))
+    cover_tl = float(np.mean((true_tilde_l > tl_q[0]) & (true_tilde_l < tl_q[2])))
+    cover_corr = float(np.mean((true_corr > corr_q[0]) & (true_corr < corr_q[2])))
+    rhat = np.asarray(potential_scale_reduction(jnp.asarray(samples)))
+
+    out = dict(
+        sampler=args.sampler,
+        N=N,
+        chains=args.chains,
+        draws=total_draws,
+        wall_s=wall,
+        samples_per_s=total_draws / wall,
+        rmse_tilde_l=rmse_tl,
+        rmse_corr=rmse_corr,
+        coverage_tilde_l=cover_tl,
+        coverage_corr=cover_corr,
+        rhat_max=float(rhat.max()),
+        rhat_median=float(np.median(rhat)),
+        mean_accept=float(np.mean(np.asarray(info["accept_prob"]))),
+    )
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""Real-data workload driver: PM2.5 / HCP / ECoG / simulation.
+
+Replaces the reference's per-dataset driver scripts (NMGP_PM25.py,
+NMGP_HCP.py, NMGP_ECoG_full.py, NMGP_ECoG_pred.py) with one CLI.
+Per-workload configurations follow the reference exactly
+(SURVEY.md §2.3 #28-31):
+
+  pm25: M=100, B in {1000,2000,5000}, lr=0.01, hyperpars ls_*=10, mu_v=1
+  hcp:  M=100, B in {1000,2000,5000}, lr=0.01, itnum=50, hyperpars ls_*=5
+  ecog: M in {25,50,100,200}, B=512, lr=0.005,
+        hyperpars {ls_L0:10, ls_L1:10, ls_te:5, s2e_log:-5}
+
+Raw data is private (not shipped with the reference either); pass --data-path
+to a compatible pickle, else a same-shape synthetic surrogate is used.
+"""
+
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+import json
+import pickle
+import time
+
+import numpy as np
+
+WORKLOADS = {
+    "pm25": dict(
+        M=100, lr=0.01, itnum=100, batch_sizes=(1000, 2000, 5000),
+        hyperpars={"length_scales_L0_log": 10, "length_scales_L1_log": 10,
+                   "length_scales_tildeell_log": 10},
+        mu_v_init=1.0,
+    ),
+    "hcp": dict(
+        M=100, lr=0.01, itnum=50, batch_sizes=(1000, 2000, 5000),
+        hyperpars={"length_scales_L0_log": 5, "length_scales_L1_log": 5,
+                   "length_scales_tildeell_log": 5},
+        mu_v_init=1.0,
+    ),
+    "ecog": dict(
+        M=100, lr=0.005, itnum=50, batch_sizes=(512,),
+        hyperpars={"length_scales_L0_log": 10, "length_scales_L1_log": 10,
+                   "length_scales_tildeell_log": 5, "sigma2_err_log": -5},
+        mu_v_init=1.0,
+    ),
+}
+
+
+def load_data(name, data_path):
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils import etl
+
+    if data_path:
+        with open(data_path, "rb") as f:
+            X_list, Y_list, Xt_list, Yt_list = pickle.load(f)
+        return X_list, Y_list, Xt_list, Yt_list, "real"
+    if name == "pm25":
+        return (*etl.synthetic_pm25(), "synthetic")
+    if name == "hcp":
+        return (*etl.synthetic_hcp(), "synthetic")
+    if name == "ecog":
+        X_list, Y_list = etl.synthetic_ecog()
+        # held-out 20% of the last channel (NMGP_ECoG_pred.py:24-51 protocol)
+        rng = np.random.RandomState(22)
+        xt, yt = [], []
+        x_last, y_last = X_list[-1], Y_list[-1]
+        te = np.sort(rng.choice(len(x_last), len(x_last) // 5, replace=False))
+        tr = np.setdiff1d(np.arange(len(x_last)), te)
+        Xt_list = [np.empty(0)] * (len(X_list) - 1) + [x_last[te]]
+        Yt_list = [np.empty(0)] * (len(Y_list) - 1) + [y_last[te]]
+        X_list = X_list[:-1] + [x_last[tr]]
+        Y_list = Y_list[:-1] + [y_last[tr]]
+        return X_list, Y_list, Xt_list, Yt_list, "synthetic"
+    raise ValueError(name)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("workload", choices=sorted(WORKLOADS))
+    p.add_argument("--data-path", default=None)
+    p.add_argument("--M", type=int, default=None)
+    p.add_argument("--batchsize", type=int, default=None)
+    p.add_argument("--itnum", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=22)
+    p.add_argument("--n-sample", type=int, default=200)
+    p.add_argument("--out", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args()
+
+    cfg = WORKLOADS[args.workload]
+    M = args.M or cfg["M"]
+    lr = args.lr or cfg["lr"]
+    itnum = args.itnum or cfg["itnum"]
+    batch_size = args.batchsize or cfg["batch_sizes"][0]
+
+    X_list, Y_list, Xt_list, Yt_list, source = load_data(args.workload, args.data_path)
+    D = len(X_list)
+    t_max = max(float(np.max(np.concatenate([np.ravel(v) for v in X_list if len(v)]))), 1.0)
+    z = np.linspace(0, t_max, M)
+    n_train = sum(len(np.ravel(v)) for v in X_list)
+    print(f"# {args.workload} ({source}): D={D}, N={n_train}, M={M}, B={batch_size}")
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.dsvi import (
+        inference,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models.predict import (
+        sample_Y,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.metrics import (
+        predictive_summary,
+    )
+
+    t0 = time.time()
+    res = inference(
+        X_list,
+        Y_list,
+        z,
+        batch_size=batch_size,
+        dim_outputs=D,
+        lr=lr,
+        itnum=itnum,
+        hyperpars=cfg["hyperpars"],
+        fix_hyperpars=True,
+        mu_v=cfg["mu_v_init"] * np.ones(M),
+        seed=args.seed,
+        show_ELBO=False,
+        PATH=args.checkpoint,
+        continuous_training=args.resume,
+        save_model=args.checkpoint is not None,
+    )
+    train_s = time.time() - t0
+    steps = len(res.loss_list)
+    out = dict(
+        workload=args.workload,
+        source=source,
+        D=D,
+        N=n_train,
+        M=M,
+        batch_size=batch_size,
+        itnum=itnum,
+        final_loss=float(res.loss_list[-1]),
+        steps_per_s=steps / train_s,
+        train_s=train_s,
+    )
+
+    has_test = any(len(np.ravel(v)) for v in Xt_list)
+    if has_test:
+        Xt = [np.ravel(v) for v in Xt_list]
+        Yt = [np.ravel(v) for v in Yt_list]
+        keep = [i for i in range(D) if len(Xt[i])]
+        ys, _, _, _ = sample_Y(
+            res.params,
+            res.Z,
+            [Xt[i] for i in keep],
+            index=keep,
+            n_sample=args.n_sample,
+            seed=args.seed,
+        )
+        y_test = np.concatenate([Yt[i] for i in keep])
+        rmse, ci, cov = predictive_summary(ys, y_test)
+        out.update(rmse_test=float(rmse), ci_length=float(ci), coverage=float(np.mean(cov)))
+
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -102,11 +102,12 @@ def test_svc_log_posterior_vs_oracle():
     S = K + np.exp(ts2e) * np.eye(N * M)
     y = Y.T.reshape(-1)
     loglik = multivariate_normal.logpdf(y, cov=S) + 0.5 * N * M * np.log(2 * np.pi)
+    # prior jitter scales with alpha^2 (logdensities._prior_jitter)
     prior = multivariate_normal.logpdf(
-        tilde_l, mean=np.zeros(N), cov=_rbf_np(x, 5.0, 1.0) + JIT * np.eye(N)
+        tilde_l, mean=np.zeros(N), cov=_rbf_np(x, 5.0, 1.0) + 25 * JIT * np.eye(N)
     )
     U = uL_vecs.reshape(N, T)
-    SL = _rbf_np(x, 5.0, 1.0) + JIT * np.eye(N)
+    SL = _rbf_np(x, 5.0, 1.0) + 25 * JIT * np.eye(N)
     for t in range(T):
         prior += multivariate_normal.logpdf(U[:, t], mean=np.zeros(N), cov=SL)
     prior += invgamma.logpdf(np.exp(ts2e), a=1.0, scale=1.0) + ts2e
