@@ -277,6 +277,37 @@ def snmgp_deviance(pars, Y, x):
     return -2.0 * ll
 
 
+def lmc_deviance(pars, Y, x):
+    """-2 loglik for the stationary LMC (constrained L_vec layout, like the
+    reference deviance family, logpos.py:176-213)."""
+    N, M = Y.shape
+    p = lmc_unflatten(pars, M)
+    y = Y.T.reshape(-1)
+    L = vec_to_tril(p.uL_vec, M)
+    B_f = L @ L.T
+    l = jnp.exp(p.tilde_l) * jnp.ones(N, dtype=x.dtype)
+    sigma = jnp.exp(p.tilde_sigma) * jnp.ones(N, dtype=x.dtype)
+    K_x = nonstationary_rbf(x, sigma1=sigma, ell1=l) + MCMC_JITTER * jnp.eye(
+        N, dtype=x.dtype
+    )
+    ll = mvn_logpdf_kron(y, jnp.zeros_like(y), B_f, K_x, jnp.exp(p.tilde_sigma2_err))
+    return -2.0 * ll
+
+
+def svc_deviance(pars, Y, x):
+    """-2 loglik for the SVC model (constrained L_vecs layout)."""
+    N, M = Y.shape
+    T = tri_size(M)
+    p = svc_unflatten(pars, N, M)
+    y = Y.T.reshape(-1)
+    L_f = vec_to_tril(p.uL_vecs.reshape(N, T), M)
+    l = jnp.exp(p.tilde_l)
+    K_x = nonstationary_rbf(x, ell1=l) + MCMC_JITTER * jnp.eye(N, dtype=x.dtype)
+    K = jnp.einsum("nm,nia,mja->injm", K_x, L_f, L_f).reshape(M * N, M * N)
+    S = K + jnp.exp(p.tilde_sigma2_err) * jnp.eye(N * M, dtype=x.dtype)
+    return -2.0 * mvn_logpdf_dense(y, jnp.zeros_like(y), S)
+
+
 # ---------------------------------------------------------------------------
 # GNMGP / SVC (spatially varying covariance)
 # ---------------------------------------------------------------------------
