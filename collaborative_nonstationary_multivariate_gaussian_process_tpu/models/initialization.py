@@ -29,9 +29,13 @@ _JITTER = 1e-6
 
 
 def search_nearest_neighborhood(x, Y, z_m, P=10):
-    """P nearest observations to inducing location z_m (pre_nmgp.py:9-12)."""
-    dist = np.abs(x - z_m)
-    indices = np.argsort(dist)[:P]
+    """P nearest observations to inducing location z_m (pre_nmgp.py:9-12).
+
+    Uses the native partial-selection KNN (utils/native.py) instead of a
+    full argsort per inducing point."""
+    from ..utils import native
+
+    indices = native.knn_1d(np.asarray(x), np.asarray([z_m]), P)[0]
     return x[indices], Y[indices]
 
 

@@ -26,13 +26,13 @@ __all__ = [
 
 
 def semivariogram(x, Y, indx):
-    """Experimental semivariogram over all lags (empirical_estimation.py:35-56),
-    vectorized over the O(N^2) pair set."""
-    N = x.shape[0]
-    iu, ju = np.triu_indices(N, k=1)
-    lag = x[ju] - x[iu]
-    sv = 0.5 * (Y[ju, indx] - Y[iu, indx]) ** 2
-    return lag, sv
+    """Experimental semivariogram over all lags (empirical_estimation.py:35-56).
+
+    Dispatches to the native C++ pair-accumulation (utils/native.py) when the
+    host library is available, else the vectorized NumPy path."""
+    from . import native
+
+    return native.semivariogram(np.asarray(x), np.asarray(Y)[:, indx])
 
 
 def variogram_gaussian(s, sigma, l):
@@ -56,25 +56,29 @@ def local_estimation(x, Y, window_size: int = 30):
       sigmas (N,), ls (N,), L_vecs (N, M(M+1)/2), stds (N, M),
       R (N, M, M) local correlation matrices, B (N, M, M) covariances.
     """
+    from . import native
+
     N, M = Y.shape
     sigmas, ls, L_vecs, stds, Rs, Bs = [], [], [], [], [], []
+    # native batched windowed covariances (one pass over all points)
+    S_all = native.windowed_scatter_cov(Y, window_size)
     for n in range(N):
         start = max(0, n - window_size)
         end = min(n + window_size, N - 1)
         x_seg = x[start:end]
         Y_seg = Y[start:end]
+        lag, sv_all = native.semivariogram_multi(x_seg, Y_seg)
         cofs = []
         for m in range(M):
-            lag, sv = semivariogram(x_seg, Y_seg, m)
             try:
-                cof, _ = curve_fit(variogram_gaussian, lag, sv, maxfev=2000)
+                cof, _ = curve_fit(variogram_gaussian, lag, sv_all[m], maxfev=2000)
             except RuntimeError:
                 cof = np.array([np.std(Y_seg[:, m]), np.ptp(x_seg) / 2 + 1e-6])
             cofs.append(np.abs(cof))
         cof = np.mean(np.stack(cofs), axis=0)
         sigmas.append(cof[0])
         ls.append(cof[1])
-        S = Y_seg.T @ Y_seg / (Y_seg.shape[0] - 1)
+        S = S_all[n]
         try:
             L_f = np.linalg.cholesky(S)
         except np.linalg.LinAlgError:

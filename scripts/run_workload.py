@@ -16,6 +16,12 @@ to a compatible pickle, else a same-shape synthetic surrogate is used.
 
 import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 import json
 import pickle
 import time
