@@ -93,5 +93,12 @@ def nonstationary_rbf(x1, x2=None, sigma1=None, ell1=None, sigma2=None, ell2=Non
         sigma1 = jnp.ones(n1, dtype=x1.dtype)
     if x2 is None:
         x2, sigma2, ell2 = x1, sigma1, ell1
+    else:
+        x2 = _as_points(x2)
+        n2 = x2.shape[0]
+        if ell2 is None:
+            ell2 = jnp.ones(n2, dtype=x1.dtype)
+        if sigma2 is None:
+            sigma2 = jnp.ones(n2, dtype=x1.dtype)
     amp = sigma1[:, None] * sigma2[None, :]
     return amp * gibbs(x1, x2, ell1, ell2, scale2=1.0)

@@ -1,0 +1,172 @@
+"""SMC model comparison: log marginal likelihoods across the model family.
+
+The reference compares models with AIC/BIC/DIC over external sampler
+histories (SIM_code/Utility/model_validation.py); here SMC gives the log
+marginal likelihood directly (BASELINE.json: "SMC for model comparison").
+
+Generates the SIM_MNTS nonstationary 2-output series and compares:
+  - LMC (stationary):   should lose on nonstationary data
+  - SNMGP (whitened):   nonstationary lengthscale + signal-sd processes
+
+Usage: python3 scripts/run_model_comparison.py [--N 48] [--particles 512] [--cpu]
+"""
+
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--N", type=int, default=48)
+    p.add_argument("--particles", type=int, default=512)
+    p.add_argument("--mutations", type=int, default=5)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.smc import (
+        run_smc,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import (
+        logdensities as ld,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.distributions import (
+        inverse_gamma_logpdf,
+        mvn_logpdf_kron,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.kernels import (
+        nonstationary_rbf,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        uvec_to_lvec,
+        vec_to_tril,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.sim import (
+        sim_mnts,
+    )
+
+    N, M = args.N, 2
+    T = ld.tri_size(M)
+    x_np, _, _, _, Y_np = sim_mnts(M=M, N=N, seed=0)
+    x = jnp.asarray(x_np)
+    Y = jnp.asarray(Y_np)
+    y = Y.T.reshape(-1)
+    P = args.particles
+    key = jax.random.PRNGKey(0)
+
+    results = {}
+
+    # ------------------------- LMC (stationary) ---------------------------
+    # params: [tilde_l, tilde_sigma, uL(T), tilde_s2e]; priors: N(0,1),
+    # N(0,1), N(0, c=10)^T, invgamma via log transform.
+    c = 10.0
+
+    def lmc_log_prior(q):
+        lp = -0.5 * q[0] ** 2 - 0.5 * jnp.log(2 * jnp.pi)
+        lp += -0.5 * q[1] ** 2 - 0.5 * jnp.log(2 * jnp.pi)
+        lp += jnp.sum(-0.5 * (q[2 : 2 + T] / c) ** 2 - jnp.log(c) - 0.5 * jnp.log(2 * jnp.pi))
+        s2e = jnp.exp(q[-1])
+        lp += inverse_gamma_logpdf(s2e, 1.0, 1.0) + q[-1]
+        return lp
+
+    def lmc_log_like(q):
+        p_ = ld.lmc_unflatten(q, M)
+        L = vec_to_tril(uvec_to_lvec(p_.uL_vec, M), M)
+        B_f = L @ L.T
+        ell = jnp.exp(p_.tilde_l) * jnp.ones(N)
+        sig = jnp.exp(p_.tilde_sigma) * jnp.ones(N)
+        K_x = nonstationary_rbf(x, sigma1=sig, ell1=ell) + 1e-6 * jnp.eye(N)
+        return mvn_logpdf_kron(y, jnp.zeros_like(y), B_f, K_x, jnp.exp(p_.tilde_sigma2_err))
+
+    def lmc_prior_sampler(k, n):
+        k1, k2, k3 = jax.random.split(k, 3)
+        scal = jax.random.normal(k1, (n, 2))
+        uL = c * jax.random.normal(k2, (n, T)) * 0.1  # start near 0 for stability
+        # log s2e from log of inv-gamma draws
+        g = jax.random.gamma(k3, 1.0, (n,))
+        ts2e = jnp.log(1.0 / g)[:, None]
+        return jnp.concatenate([scal, uL, ts2e], axis=1)
+
+    t0 = time.time()
+    _, info = jax.jit(
+        lambda q0, k: run_smc(
+            lmc_log_prior, lmc_log_like, q0, k, num_mutations=args.mutations, num_leapfrog=16
+        )
+    )(lmc_prior_sampler(jax.random.PRNGKey(1), P), jax.random.PRNGKey(2))
+    results["lmc"] = dict(
+        log_z=float(info["log_z"]),
+        stages=int(info["num_stages"]),
+        wall_s=time.time() - t0,
+    )
+
+    # ---------------------- SNMGP (whitened) ------------------------------
+    hyp = dict(mu_tilde_l=-3.0, alpha_tilde_l=3.0, beta_tilde_l=0.4,
+               mu_tilde_sigma=0.0, alpha_tilde_sigma=1.0, beta_tilde_sigma=1.0)
+    chol_l, chol_s = ld.snmgp_whiten_chols(
+        x, hyp["alpha_tilde_l"], hyp["beta_tilde_l"],
+        hyp["alpha_tilde_sigma"], hyp["beta_tilde_sigma"],
+    )
+    dim_w = 2 * N + T + 1
+
+    def snmgp_log_prior(q):
+        eta = q[: 2 * N]
+        uL = q[2 * N : 2 * N + T]
+        lp = jnp.sum(-0.5 * eta**2 - 0.5 * jnp.log(2 * jnp.pi))
+        lp += jnp.sum(-0.5 * (uL / c) ** 2 - jnp.log(c) - 0.5 * jnp.log(2 * jnp.pi))
+        s2e = jnp.exp(q[-1])
+        lp += inverse_gamma_logpdf(s2e, 1.0, 1.0) + q[-1]
+        return lp
+
+    def snmgp_log_like(q):
+        p_ = ld.snmgp_unwhiten(q, x, hyp["mu_tilde_l"], hyp["mu_tilde_sigma"], chol_l, chol_s, M)
+        L = vec_to_tril(uvec_to_lvec(p_.uL_vec, M), M)
+        B_f = L @ L.T
+        K_x = nonstationary_rbf(
+            x, sigma1=jnp.exp(p_.tilde_sigma), ell1=jnp.exp(p_.tilde_l)
+        ) + 1e-6 * jnp.eye(N)
+        return mvn_logpdf_kron(y, jnp.zeros_like(y), B_f, K_x, jnp.exp(p_.tilde_sigma2_err))
+
+    def snmgp_prior_sampler(k, n):
+        k1, k2, k3 = jax.random.split(k, 3)
+        eta = jax.random.normal(k1, (n, 2 * N))
+        uL = c * jax.random.normal(k2, (n, T)) * 0.1
+        g = jax.random.gamma(k3, 1.0, (n,))
+        ts2e = jnp.log(1.0 / g)[:, None]
+        return jnp.concatenate([eta, uL, ts2e], axis=1)
+
+    t0 = time.time()
+    _, info = jax.jit(
+        lambda q0, k: run_smc(
+            snmgp_log_prior, snmgp_log_like, q0, k, num_mutations=args.mutations, num_leapfrog=16
+        )
+    )(snmgp_prior_sampler(jax.random.PRNGKey(3), P), jax.random.PRNGKey(4))
+    results["snmgp"] = dict(
+        log_z=float(info["log_z"]),
+        stages=int(info["num_stages"]),
+        wall_s=time.time() - t0,
+    )
+
+    results["log_bayes_factor_snmgp_vs_lmc"] = (
+        results["snmgp"]["log_z"] - results["lmc"]["log_z"]
+    )
+    print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f)
+
+
+if __name__ == "__main__":
+    main()
