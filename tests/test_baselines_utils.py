@@ -1,0 +1,121 @@
+"""Baseline models + metrics/ETL utilities."""
+
+import numpy as np
+import pytest
+
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.models.baselines import (
+    fit_icm,
+    fit_igpr,
+    predict_icm,
+    predict_igpr,
+)
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.metrics import (
+    aic,
+    bic,
+    ci_length_and_coverage,
+    dic,
+    lpd,
+    rmse,
+)
+
+RNG = np.random.default_rng(9)
+
+
+def _toy_multioutput(n=60, n_test=30):
+    x1 = np.sort(RNG.random(n))
+    x2 = np.sort(RNG.random(n))
+    f = lambda t: np.sin(2 * np.pi * t)
+    X_list = [x1, x2]
+    Y_list = [f(x1) + 0.1 * RNG.standard_normal(n), 0.7 * f(x2) + 0.1 * RNG.standard_normal(n)]
+    Xt = [np.sort(RNG.random(n_test)) for _ in range(2)]
+    Yt = [f(Xt[0]), 0.7 * f(Xt[1])]
+    return X_list, Y_list, Xt, Yt
+
+
+def test_igpr_learns_signal():
+    X_list, Y_list, Xt, Yt = _toy_multioutput()
+    models = fit_igpr(X_list, Y_list, steps=300)
+    means, stds = predict_igpr(models, Xt)
+    for m, yt, s in zip(means, Yt, stds):
+        assert rmse(m, yt) < 0.35
+        assert np.all(s > 0)
+
+
+def test_icm_learns_shared_structure():
+    X_list, Y_list, Xt, Yt = _toy_multioutput()
+    model = fit_icm(X_list, Y_list, steps=300)
+    means, stds = predict_icm(model, Xt)
+    for m, yt in zip(means, Yt):
+        assert rmse(m, yt) < 0.35
+
+
+def test_metrics_definitions():
+    y = np.array([0.0, 1.0, 2.0])
+    m = np.array([0.0, 1.0, 2.5])
+    assert abs(rmse(m, y) - np.sqrt(0.25 / 3)) < 1e-12
+    # lpd of exact mean with unit std: log(1/sqrt(2pi)) average minus sq errs
+    val = lpd(m, np.ones(3), y)
+    expected = np.mean(-0.5 * (y - m) ** 2 - 0.5 * np.log(2 * np.pi))
+    assert abs(val - expected) < 1e-9
+
+
+def test_ci_and_coverage():
+    samples = RNG.standard_normal((4000, 50))
+    y = np.zeros(50)
+    length, cov = ci_length_and_coverage(samples, y)
+    assert abs(length - 2 * 1.96) < 0.15
+    assert cov > 0.9
+
+
+def test_information_criteria():
+    dev = lambda p: float(np.sum(p**2))
+    pars = np.array([1.0, 2.0])
+    assert aic(pars, dev) == 5.0 + 4
+    assert abs(bic(pars, dev, n_obs=10) - (5.0 + 2 * np.log(10))) < 1e-12
+    hist = np.array([[1.0, 2.0], [3.0, 0.0]])
+    # bar_D = (5+9)/2 = 7; D(mean) = 4+1 = 5; DIC = 7 + (7-5) = 9
+    assert abs(dic(hist, dev) - 9.0) < 1e-12
+
+
+def test_synthetic_etl_shapes():
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.etl import (
+        synthetic_ecog,
+        synthetic_hcp,
+        synthetic_pm25,
+    )
+
+    X, Y, Xt, Yt = synthetic_pm25()
+    assert len(X) == 6
+    assert sum(len(v) for v in X) == 28768
+    assert sum(len(v) for v in Xt) == 942
+    X, Y, Xt, Yt = synthetic_hcp()
+    assert len(X) == 15
+    assert sum(len(v) for v in X) == 71040
+    X, Y = synthetic_ecog(n_channel=8, n_steps=100)
+    assert len(X) == 8 and len(X[0]) == 100
+
+
+def test_data_splits():
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.data import (
+        data_split,
+        data_split_non_chunk,
+        flatten_output_lists,
+        unflatten_to_lists,
+    )
+
+    x = np.sort(RNG.random(40))
+    Y = RNG.standard_normal((40, 3))
+    xtr, xte, Ytr, Yte = data_split(x, Y, test_size=0.25)
+    assert len(xtr) == 30 and len(xte) == 10
+    assert np.all(np.diff(xtr) >= 0)  # reordered by x
+
+    indx = np.repeat(np.arange(2), 20)
+    xx = np.concatenate([x[:20], x[:20]])
+    yy = RNG.standard_normal(40)
+    parts = data_split_non_chunk(xx, indx, yy, chunk_size=0.2, fix=True)
+    assert len(parts[0]) + len(parts[1]) == 40
+
+    fd = flatten_output_lists([x[:5], x[5:12]], [Y[:5, 0], Y[5:12, 1]])
+    assert fd.n == 12 and fd.dim_outputs == 2
+    Xl, Yl = unflatten_to_lists(fd.x, fd.y, fd.idx, 2)
+    assert len(Xl[0]) == 5 and len(Xl[1]) == 7
