@@ -121,32 +121,37 @@ def nuts_kernel(
         """
         num_leaves = jnp.int32(2) ** depth
 
-        ck_q = jnp.zeros((max_depth + 1, dim), dtype)
-        ck_p = jnp.zeros((max_depth + 1, dim), dtype)
-        ck_psum = jnp.zeros((max_depth + 1, dim), dtype)
+        # NOTE: every carry leaf is tied to the (potentially device-varying)
+        # chain state so while_loop carry types stay consistent when this
+        # kernel runs inside vmap-under-shard_map (shard_map scan-vma rule).
+        zero = 0.0 * q0[0]
+        false_v = jnp.isnan(q0[0])  # varying False
+        ck_q = jnp.zeros((max_depth + 1, dim), dtype) + zero
+        ck_p = jnp.zeros((max_depth + 1, dim), dtype) + zero
+        ck_psum = jnp.zeros((max_depth + 1, dim), dtype) + zero
 
         init = dict(
             n=jnp.int32(0),
             q=q0,
             p=p0_,
             g=g0,
-            psum=jnp.zeros(dim, dtype),  # cumulative momentum sum incl. leaf n-1
+            psum=0.0 * p0_,  # cumulative momentum sum incl. leaf n-1
             ck_q=ck_q,
             ck_p=ck_p,
             ck_psum=ck_psum,
             q_prop=q0,
-            lp_prop=jnp.array(-jnp.inf, dtype),
+            lp_prop=zero - jnp.inf,
             g_prop=g0,
-            log_w=jnp.array(-jnp.inf, dtype),
-            sum_accept=jnp.zeros((), dtype),
-            turning=jnp.asarray(False),
-            diverging=jnp.asarray(False),
+            log_w=zero - jnp.inf,
+            sum_accept=zero,
+            turning=false_v,
+            diverging=false_v,
             key=key,
             # subtree edge states (first/last leaf)
             q_first=q0,
             p_first=p0_,
             g_first=g0,
-            lp_last=jnp.zeros((), dtype),
+            lp_last=zero,
         )
 
         def cond(c):
@@ -223,6 +228,8 @@ def nuts_kernel(
         return c
 
     # ---- outer doubling loop ---------------------------------------------
+    zero_v = 0.0 * state.log_prob
+    false_v = jnp.isnan(state.log_prob)
     init_tree = _TreeState(
         q_left=state.position,
         p_left=p0,
@@ -234,12 +241,12 @@ def nuts_kernel(
         lp_prop=state.log_prob,
         g_prop=state.grad,
         rho=p0,
-        log_w=jnp.zeros((), dtype),  # initial point has weight exp(0)
-        sum_accept=jnp.zeros((), dtype),
+        log_w=zero_v,  # initial point has weight exp(0)
+        sum_accept=zero_v,
         num_leaves=jnp.int32(1),
         depth=jnp.int32(0),
-        turning=jnp.asarray(False),
-        diverging=jnp.asarray(False),
+        turning=false_v,
+        diverging=false_v,
     )
 
     def out_cond(carry):

@@ -146,18 +146,22 @@ def lmc_unflatten(pars, M: int) -> LMCPars:
 
 
 def _kron_loglik_robust(y, B_f, K_x, sigma2_err, jitter=PRECISION):
-    """Kronecker MVN log-lik with a deterministic jitter fallback.
+    """Kronecker MVN log-lik with an always-on deterministic factor jitter.
 
     Replaces the reference's `while loglik != loglik:` random-retry loop
-    (logpos.py:267-268) with `lax.cond` on NaN.
+    (logpos.py:267-268).  A `lax.cond` NaN-fallback would be closest in
+    spirit, but cond's batching rule breaks under vmap-inside-shard_map
+    (chain-parallel NUTS); the tiny symmetric jitter on both Kronecker
+    factors is branchless, costs nothing extra, and regularizes the
+    eigendecompositions the same way the reference's retry did.
+
+    Float64 needs no crutch (the reference's retry virtually never fires
+    there) — the jitter is applied only in float32.
     """
     zero = jnp.zeros_like(y)
-    ll = mvn_logpdf_kron(y, zero, B_f, K_x, sigma2_err)
-    return jax.lax.cond(
-        jnp.isnan(ll),
-        lambda: mvn_logpdf_kron(y, zero, B_f, K_x, sigma2_err, jitter=jitter),
-        lambda: ll,
-    )
+    if jnp.finfo(y.dtype).eps > 1e-10:  # static dtype check: f32/bf16 only
+        return mvn_logpdf_kron(y, zero, B_f, K_x, sigma2_err, jitter=jitter)
+    return mvn_logpdf_kron(y, zero, B_f, K_x, sigma2_err)
 
 
 def _prior_jitter(dtype, alpha=1.0):

@@ -1,0 +1,110 @@
+"""Chain-parallel scaling-efficiency harness.
+
+Measures NUTS samples/s at 1, 2, 4, ... devices with chains sharded over
+the mesh "chain" axis (the BASELINE.json >=80% 1->4-host efficiency target;
+real multi-host numbers require a pod slice — this harness runs identically
+there via jax.distributed.initialize, and on the 8-device virtual CPU mesh
+for CI).
+
+Usage: python3 scripts/bench_scaling.py [--cpu] [--devices 1 2 4 8]
+       [--chains-per-device 4]
+"""
+
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, nargs="+", default=None)
+    p.add_argument("--chains-per-device", type=int, default=4)
+    p.add_argument("--N", type=int, default=24)
+    p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--samples", type=int, default=100)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import (
+        logdensities as ld,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.sharded_mcmc import (
+        run_nuts_sharded,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.sim import (
+        sim_mnts,
+    )
+
+    n_avail = jax.device_count()
+    device_counts = args.devices or [d for d in (1, 2, 4, 8) if d <= n_avail]
+
+    N, M = args.N, 2
+    T = ld.tri_size(M)
+    x_np, _, _, _, Y_np = sim_mnts(M=M, N=N, seed=0)
+    x = jnp.asarray(x_np)
+    Y = jnp.asarray(Y_np)
+    chol_l, chol_s = ld.snmgp_whiten_chols(x, 3.0, 0.4, 1.0, 1.0)
+    dim = 2 * N + T + 1
+
+    def lp(q):
+        return ld.snmgp_log_posterior_whitened(q, Y, x, chol_l, chol_s, mu_tilde_l=-3.0)
+
+    results = []
+    base_rate = None
+    for nd in device_counts:
+        mesh = make_mesh(data=1, chain=nd)
+        n_chains = nd * args.chains_per_device
+        init = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (n_chains, dim))
+        # compile + run once (warm), then time
+        t0 = time.time()
+        pos, info = run_nuts_sharded(
+            lp, init, jax.random.PRNGKey(1), mesh,
+            num_warmup=args.warmup, num_samples=args.samples, max_depth=7,
+        )
+        float(np.asarray(pos)[0, 0, 0])
+        compile_and_run = time.time() - t0
+        t0 = time.time()
+        pos, info = run_nuts_sharded(
+            lp, init, jax.random.PRNGKey(2), mesh,
+            num_warmup=args.warmup, num_samples=args.samples, max_depth=7,
+        )
+        float(np.asarray(pos)[0, 0, 0])
+        dt = time.time() - t0
+        total_draws = n_chains * args.samples
+        rate = total_draws / dt
+        if base_rate is None:
+            base_rate = rate / nd  # per-device baseline at 1 device
+        eff = rate / (nd * base_rate)
+        results.append(
+            dict(devices=nd, chains=n_chains, draws=total_draws, wall_s=dt,
+                 samples_per_s=rate, efficiency=eff,
+                 first_call_s=compile_and_run)
+        )
+        print(json.dumps(results[-1]))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f)
+
+
+if __name__ == "__main__":
+    main()
