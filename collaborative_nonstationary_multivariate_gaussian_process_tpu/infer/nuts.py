@@ -147,11 +147,6 @@ def nuts_kernel(
             turning=false_v,
             diverging=false_v,
             key=key,
-            # subtree edge states (first/last leaf)
-            q_first=q0,
-            p_first=p0_,
-            g_first=g0,
-            lp_last=zero,
         )
 
         def cond(c):
@@ -200,7 +195,6 @@ def nuts_kernel(
                 )
                 turning = jnp.logical_or(turning, jnp.logical_and(complete, turn_k))
 
-            first = n == 0
             return dict(
                 n=np1,
                 q=q,
@@ -218,10 +212,6 @@ def nuts_kernel(
                 turning=turning,
                 diverging=jnp.logical_or(c["diverging"], diverging),
                 key=key,
-                q_first=jnp.where(first, q, c["q_first"]),
-                p_first=jnp.where(first, p, c["p_first"]),
-                g_first=jnp.where(first, g, c["g_first"]),
-                lp_last=lp,
             )
 
         c = jax.lax.while_loop(cond, body, init)

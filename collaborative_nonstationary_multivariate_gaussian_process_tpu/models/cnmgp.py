@@ -138,7 +138,6 @@ def _offdiag_indices(D: int):
 class _Latents(NamedTuple):
     """Per-minibatch sampled/conditioned latent quantities."""
 
-    sampled_l: jax.Array  # (B, D)  rows of L(x_b) for each datum's output row
     L_full: jax.Array  # (B, D, D) full sampled coefficient matrices
     mu_g: jax.Array  # (D, B)
     sigma2_g: jax.Array  # (D, B)
@@ -227,7 +226,6 @@ def _sample_latents(
     mu_g, s2_g = mgp_mean_var(P_G, K_G_12, d11_g, params.mu_W, Sigma_W)
 
     return _Latents(
-        sampled_l=None,  # filled by caller when an output index is given
         L_full=L_full,
         mu_g=mu_g,
         sigma2_g=s2_g,

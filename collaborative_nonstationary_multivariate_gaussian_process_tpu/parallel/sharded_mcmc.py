@@ -15,6 +15,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -105,6 +106,25 @@ def run_hmc_sharded(
     )
     positions, info = jax.jit(fn)(init_positions, keys)
     return positions, info
+
+
+def effective_sample_size(chains_samples):
+    """ESS via the autocorrelation method (Geyer initial positive sequence,
+    FFT-based), over (num_chains, num_samples, dim) draws.  Returns (dim,)."""
+    x = jnp.asarray(chains_samples)
+    c, n, d = x.shape
+    x = x - jnp.mean(x, axis=1, keepdims=True)
+    # autocovariance per chain/dim via FFT
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = jnp.fft.rfft(x, n=nfft, axis=1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :n, :].real / n
+    rho = jnp.mean(acov, axis=0) / jnp.maximum(jnp.mean(acov[:, 0, :], axis=0), 1e-30)
+    # Geyer: sum pairs while positive
+    n_pairs = (n - 1) // 2
+    pair = rho[1 : 1 + 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)  # (P, d)
+    positive = jnp.cumprod(pair > 0, axis=0).astype(rho.dtype)
+    tau = 1.0 + 2.0 * jnp.sum(pair * positive, axis=0)
+    return c * n / jnp.maximum(tau, 1.0)
 
 
 def potential_scale_reduction(chains_samples):
