@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gibbs_pallas", "rbf_pallas"]
+__all__ = ["gibbs_pallas", "rbf_pallas", "kron_mv_pallas", "cholesky_pallas"]
 
 _TILE = 128
 
@@ -169,3 +169,157 @@ def _rbf_bwd(interpret, res, g):
 
 
 rbf_pallas.defvjp(_rbf_fwd, _rbf_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused Kronecker matvec: (B ⊗ K) y = vec(K Y Bᵀ)
+# ---------------------------------------------------------------------------
+
+
+def kron_mv_pallas(B, K, y, interpret=False):
+    """(B ⊗ K) y without materializing the (N1, M2) intermediate in HBM.
+
+    B: (M1, M2) small task matrix; K: (N1, N2) large input matrix;
+    y: (M2*N2,) task-major.  The reference's `kron_mv`
+    (kronecker_operation.py:72-85) is two GEMMs with an HBM round-trip for
+    K @ Y; here each K row-block's (TILE, M2) product stays in VMEM and is
+    immediately contracted with Bᵀ — one HBM pass over K for the small-M
+    regimes of this model family (M = #outputs ≤ ~16).
+    Returns (M1*N1,).
+    """
+    m1, m2 = B.shape
+    n1, n2 = K.shape
+    dtype = K.dtype
+    Y = y.reshape(m2, n2).T  # (N2, M2)
+
+    grid_n = pl.cdiv(n1, _TILE)
+    n1p = grid_n * _TILE
+    if n1p != n1:
+        K = jnp.concatenate([K, jnp.zeros((n1p - n1, n2), dtype)], axis=0)
+    # pad the small task dims to the 128-lane floor (zero-padding is exact)
+    mp = _TILE
+    Yp = jnp.zeros((n2, mp), dtype).at[:, :m2].set(Y)
+    BTp = jnp.zeros((mp, mp), dtype).at[:m2, :m1].set(B.T)
+
+    acc_t = jnp.float32 if dtype == jnp.float32 else dtype
+
+    def body(k_ref, y_ref, bt_ref, out_ref):
+        kb = k_ref[:]  # (TILE, N2)
+        yb = y_ref[:]  # (N2, mp)
+        bt = bt_ref[:]  # (mp, mp)
+        t = jnp.dot(kb, yb, preferred_element_type=acc_t)
+        out_ref[:] = jnp.dot(t, bt, preferred_element_type=acc_t).astype(dtype)
+
+    out = pl.pallas_call(
+        body,
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec((_TILE, n2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n2, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE, mp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n1p, mp), dtype),
+        interpret=interpret,
+    )(K, Yp, BTp)
+    return out[:n1, :m1].T.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Batched Cholesky: one VMEM-resident factorization per grid program
+# ---------------------------------------------------------------------------
+
+
+def _chol_kernel_body(a_ref, out_ref):
+    """Right-looking Cholesky of one (Mp, Mp) tile, fully in VMEM.
+
+    Each of the M iterations does a full-matrix masked rank-1 update — an
+    O(M^2) VPU op — so the work is vector-parallel even though the column
+    recurrence is sequential (Cholesky's intrinsic critical path).
+    """
+    mp = a_ref.shape[-1]
+    A0 = a_ref[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
+    row_ids = rows[:, 0]  # (mp,) index vector (2-D iota then slice: TPU-safe)
+
+    def col_step(j, carry):
+        A, L = carry
+        d = jax.lax.rsqrt(jnp.maximum(A[j, j], 1e-30))
+        colj = jnp.where(row_ids >= j, A[:, j] * d, 0.0)
+        L = jnp.where(cols == j, colj[:, None], L)
+        A = A - colj[:, None] * colj[None, :]
+        return (A, L)
+
+    _, L = jax.lax.fori_loop(0, mp, col_step, (A0, jnp.zeros_like(A0)))
+    out_ref[0] = jnp.where(rows >= cols, L, 0.0)
+
+
+def cholesky_pallas(A, interpret=False):
+    """Batched lower Cholesky of (..., M, M) SPD matrices, M <= 512.
+
+    BASELINE.json names batched small-Cholesky a fused-kernel target: the
+    M x M inducing-point blocks (M ~ 100) factor entirely in VMEM, one
+    matrix per grid program, with the batch as the grid.  Differentiable
+    via the standard Cholesky pullback expressed on the Pallas forward
+    (tests check it against jnp.linalg.cholesky's VJP).
+    """
+    return _chol_forward(A, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _chol_forward(A, interpret=False):
+    batch_shape = A.shape[:-2]
+    m = A.shape[-1]
+    # pad to the dtype tile floor
+    mp = max(8, ((m + 7) // 8) * 8)
+    Ab = A.reshape((-1, m, m))
+    nb = Ab.shape[0]
+    if mp != m:
+        eye_pad = jnp.eye(mp, dtype=A.dtype)
+        Ap = jnp.tile(eye_pad[None], (nb, 1, 1))
+        Ap = Ap.at[:, :m, :m].set(Ab)
+    else:
+        Ap = Ab
+    out = pl.pallas_call(
+        _chol_kernel_body,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((1, mp, mp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, mp, mp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, mp, mp), A.dtype),
+        interpret=interpret,
+    )(Ap)
+    return out[:, :m, :m].reshape(batch_shape + (m, m))
+
+
+def _chol_fwd(A, interpret):
+    L = _chol_forward(A, interpret)
+    return L, L
+
+
+def _chol_bwd(interpret, L, Lbar):
+    """Cholesky pullback (Murray 2016): Ā = ½ L⁻ᵀ (Φ(Lᵀ L̄) + Φ(Lᵀ L̄)ᵀ) L⁻¹
+    with Φ = tril with halved diagonal."""
+    import jax.scipy.linalg as jsl
+
+    m = L.shape[-1]
+    P = jnp.einsum("...ji,...jk->...ik", L, Lbar)
+    tri = jnp.tril(jnp.ones((m, m), L.dtype)) - 0.5 * jnp.eye(m, dtype=L.dtype)
+    phi = P * tri
+    sym = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
+
+    batch = L.shape[:-2]
+    Lf = L.reshape((-1, m, m))
+    Sf = sym.reshape((-1, m, m))
+
+    def pull(l, s):
+        # Abar = L^{-T} s L^{-1}
+        t1 = jsl.solve_triangular(l, s, lower=True, trans="T")  # L^{-T} s
+        t2 = jsl.solve_triangular(l, t1.T, lower=True, trans="T").T  # t1 L^{-1}
+        return t2
+
+    Abar = jax.vmap(pull)(Lf, Sf).reshape(batch + (m, m))
+    return (Abar,)
+
+
+_chol_forward.defvjp(_chol_fwd, _chol_bwd)

@@ -87,3 +87,64 @@ def test_rbf_pallas_gradients_match():
     )(jnp.asarray(2.0), jnp.asarray(0.4))
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8)
+
+
+def test_kron_mv_pallas_matches_dense():
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.pallas_kernels import (
+        kron_mv_pallas,
+    )
+
+    m1, m2, n1, n2 = 3, 2, 200, 150
+    B = jnp.asarray(RNG.standard_normal((m1, m2)))
+    K = jnp.asarray(RNG.standard_normal((n1, n2)))
+    y = jnp.asarray(RNG.standard_normal(m2 * n2))
+    got = np.asarray(kron_mv_pallas(B, K, y, interpret=True))
+    expected = np.kron(np.asarray(B), np.asarray(K)) @ np.asarray(y)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-8)
+
+
+def test_cholesky_pallas_matches_jnp():
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.pallas_kernels import (
+        cholesky_pallas,
+    )
+
+    batch, m = 5, 20
+    A = RNG.standard_normal((batch, m, m))
+    S = np.einsum("bij,bkj->bik", A, A) + m * np.eye(m)
+    got = np.asarray(cholesky_pallas(jnp.asarray(S), interpret=True))
+    expected = np.linalg.cholesky(S)
+    np.testing.assert_allclose(got, expected, rtol=1e-8, atol=1e-10)
+
+
+def test_cholesky_pallas_padded_sizes():
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.pallas_kernels import (
+        cholesky_pallas,
+    )
+
+    m = 13  # not a multiple of 8 — exercises the identity padding
+    A = RNG.standard_normal((2, m, m))
+    S = np.einsum("bij,bkj->bik", A, A) + m * np.eye(m)
+    got = np.asarray(cholesky_pallas(jnp.asarray(S), interpret=True))
+    np.testing.assert_allclose(got, np.linalg.cholesky(S), rtol=1e-8, atol=1e-10)
+
+
+def test_cholesky_pallas_vjp_matches_jnp():
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.pallas_kernels import (
+        cholesky_pallas,
+    )
+
+    m = 8
+    A = RNG.standard_normal((m, m))
+    S = A @ A.T + m * np.eye(m)
+    W = jnp.asarray(RNG.standard_normal((m, m)))
+
+    def f_pal(S_):
+        return jnp.sum(W * cholesky_pallas(S_, interpret=True))
+
+    def f_ref(S_):
+        return jnp.sum(W * jnp.linalg.cholesky(S_))
+
+    g_pal = np.asarray(jax.grad(f_pal)(jnp.asarray(S)))
+    g_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(S)))
+    # jax's cholesky grad returns the symmetrized gradient too
+    np.testing.assert_allclose(g_pal, g_ref, rtol=1e-7, atol=1e-9)
