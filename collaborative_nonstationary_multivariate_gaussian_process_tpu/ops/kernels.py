@@ -57,15 +57,42 @@ def rbf(x1, x2, scale2=1.0, length_scale=1.0):
     return scale2 * jnp.exp(-0.5 * r2)
 
 
-def gibbs(x1, x2, ell1, ell2, scale2=1.0):
+# Auto-dispatch to the fused Pallas build above this element count on TPU
+# (measured ~5x over the XLA fusion at 8192^2 on v5e; below ~1M elements the
+# launch overhead eats the win).
+PALLAS_MIN_ELEMENTS = 1 << 20
+
+
+def _use_pallas(x1, x2):
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    if x1.ndim != 1 or x2.ndim != 1 or x1.dtype != jnp.float32:
+        return False
+    return x1.shape[0] * x2.shape[0] >= PALLAS_MIN_ELEMENTS
+
+
+def gibbs(x1, x2, ell1, ell2, scale2=1.0, use_pallas=None):
     """Gibbs nonstationary kernel with input-dependent lengthscale.
 
       k(x,x') = scale2 * sqrt(2 l(x) l(x') / (l(x)^2 + l(x')^2))
                        * exp(-||x-x'||^2 / (l(x)^2 + l(x')^2))
 
     Matches `create_Gibbs` (reference code/utils.py:97-103).  ell1: (N1,),
-    ell2: (N2,) positive lengthscales at the two input sets.
+    ell2: (N2,) positive lengthscales at the two input sets.  Large f32
+    builds on TPU dispatch to the fused Pallas kernel (custom VJP).
     """
+    if use_pallas is None:
+        use_pallas = _use_pallas(x1, x2)
+    if use_pallas:
+        from .pallas_kernels import gibbs_pallas
+
+        return gibbs_pallas(
+            jnp.asarray(x1), jnp.asarray(x2), ell1, ell2, jnp.asarray(scale2, jnp.float32)
+        )
     r2 = sq_dist(x1, x2)
     e1sq = (ell1**2)[:, None]
     e2sq = (ell2**2)[None, :]

@@ -241,14 +241,19 @@ def _chol_kernel_body(a_ref, out_ref):
     A0 = a_ref[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
-    row_ids = rows[:, 0]  # (mp,) index vector (2-D iota then slice: TPU-safe)
 
     def col_step(j, carry):
+        # Mosaic has no dynamic_slice on values and is picky about 1-D
+        # vectors: extract column j and the pivot with fully 2-D masked
+        # reductions (O(M^2) VPU work, same order as the rank-1 update).
         A, L = carry
-        d = jax.lax.rsqrt(jnp.maximum(A[j, j], 1e-30))
-        colj = jnp.where(row_ids >= j, A[:, j] * d, 0.0)
-        L = jnp.where(cols == j, colj[:, None], L)
-        A = A - colj[:, None] * colj[None, :]
+        col_mask = cols == j
+        colj = jnp.sum(jnp.where(col_mask, A, 0.0), axis=1, keepdims=True)  # (mp,1)
+        a_jj = jnp.sum(jnp.where(jnp.logical_and(col_mask, rows == j), A, 0.0))
+        d = jax.lax.rsqrt(jnp.maximum(a_jj, 1e-30))
+        colj = jnp.where(rows[:, :1] >= j, colj * d, 0.0)  # (mp,1)
+        L = jnp.where(col_mask, colj, L)
+        A = A - colj * colj.reshape(1, mp)
         return (A, L)
 
     _, L = jax.lax.fori_loop(0, mp, col_step, (A0, jnp.zeros_like(A0)))
