@@ -32,31 +32,13 @@ import optax
 from ..models import cnmgp
 from ..models.cnmgp import CNMGPParams
 
-__all__ = ["DSVIConfig", "DSVIResult", "make_train_step", "inference"]
+__all__ = ["DSVIResult", "make_train_step", "make_scan_epochs", "inference"]
 
 FROZEN_WHEN_FIXED = (
     "length_scales_tildeell_log",
     "length_scales_L0_log",
     "length_scales_L1_log",
 )
-
-
-@dataclass
-class DSVIConfig:
-    batch_size: int = 0  # 0 = full batch
-    lr: float = 0.01
-    itnum: int = 1000
-    fix_hyperpars: bool = True
-    hyperpars: Optional[Dict[str, float]] = None
-    do_stop_criterion: bool = False
-    seed: int = 22
-    show_elbo: bool = True
-    elbo_every: int = 100
-    elbo_samples: int = 100
-    verbose: bool = False
-    checkpoint_path: Optional[str] = None
-    continuous_training: bool = False
-    save_model: bool = False
 
 
 @dataclass
