@@ -1,0 +1,58 @@
+"""ECoG-scale DSVI throughput: D=78 outputs, the reference's largest model.
+
+The per-step cost is dominated by the D^2 coefficient-process conditioning
+(Sigma_U einsum: D^2 M^2-blocks) — the workload where the TPU MXU shines
+over the reference's D^2 Python solve loop.
+
+Usage: python3 scripts/bench_ecog.py [--M 100] [--B 512] [--cpu]
+"""
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import json, time
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--M", type=int, default=100)
+    p.add_argument("--B", type=int, default=512)
+    p.add_argument("--epochs", type=int, default=2)
+    a = p.parse_args()
+
+    import jax, jax.numpy as jnp, optax
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import cnmgp
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.dsvi import (
+        freeze_mask, make_scan_epochs)
+
+    D, N = 78, 62400
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.tile(np.arange(800.0), 78).astype(np.float32))
+    y = jnp.asarray(np.sin(x / 40).astype(np.float32))
+    idx = jnp.asarray(np.repeat(np.arange(78), 800).astype(np.int32))
+    Z = jnp.linspace(0, 800.0, a.M, dtype=jnp.float32)
+    params = cnmgp.init_params(jax.random.PRNGKey(0), D, a.M, dtype=jnp.float32)
+    opt = optax.adam(0.005)
+    st = opt.init(params)
+    mask = freeze_mask(params, True)
+    nb = -(-N // a.B)
+    run = make_scan_epochs(opt, float(N), 1e-4, nb, a.B)
+    r = run(params, st, mask, Z, x, y, idx, jax.random.PRNGKey(1), 1)
+    assert np.isfinite(float(r[2][-1])), "nonfinite loss"
+    t0 = time.time()
+    r = run(params, st, mask, Z, x, y, idx, jax.random.PRNGKey(2), a.epochs)
+    float(r[2][-1])
+    dt = time.time() - t0
+    steps = a.epochs * nb
+    print(json.dumps(dict(workload="ecog_synthetic", D=D, N=N, M=a.M, B=a.B,
+                          steps=steps, steps_per_s=steps / dt,
+                          step_ms=1000 * dt / steps)))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,11 @@ import numpy as np
 
 
 def main():
+    # Dense-Cholesky MCMC is precision-sensitive: TPU default matmul
+    # precision (bf16 passes) destabilizes the stiff GP posteriors.
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "float32")
     p = argparse.ArgumentParser()
     p.add_argument("--N", type=int, default=100)
     p.add_argument("--chains", type=int, default=4)
