@@ -14,10 +14,44 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+
+def _tpu_alive(timeout_s: int = 240) -> bool:
+    """Probe the chip in a subprocess: a wedged axon grant hangs forever in
+    native code, so the only safe check is an expendable child process."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))"
+    )
+    # Popen + poll, and do NOT kill on timeout: killing a TPU client mid-claim
+    # wedges the chip further; an orphaned probe exits on its own when the
+    # grant eventually resolves.
+    p = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        rc = p.poll()
+        if rc is not None:
+            return rc == 0
+        time.sleep(2)
+    return False
+
+
+_ON_CPU = False
+if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not _tpu_alive():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    _ON_CPU = True
 
 import jax
 import jax.numpy as jnp
@@ -77,16 +111,15 @@ def main():
         rates.append(steps / (time.time() - t0))
     steps_per_s = float(np.median(rates))
 
-    print(
-        json.dumps(
-            {
-                "metric": "dsvi_elbo_steps_per_s_pm25sub",
-                "value": round(steps_per_s, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_s / REF_STEPS_PER_S, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "dsvi_elbo_steps_per_s_pm25sub",
+        "value": round(steps_per_s, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / REF_STEPS_PER_S, 3),
+    }
+    if _ON_CPU:
+        out["note"] = "TPU unreachable at bench time; measured on host CPU"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
