@@ -173,9 +173,20 @@ def _sample_latents(
 
     k_v, k_te, k_diag, k_off = jax.random.split(key, 4)
 
+    # One raw pairwise-distance computation feeds all three stationary
+    # kernels (only the s2/ls scalings differ) — saves two matmul chains
+    # per step vs building each RBF from scratch.
+    from ..ops.kernels import sq_dist
+
+    d2_xz = sq_dist(x, Z)  # (B, M)
+    d2_zz = sq_dist(Z, Z)  # (M, M)
+
+    def _rbf_pair(s2, ls):
+        inv = 0.5 / (ls * ls)
+        return s2 * jnp.exp(-d2_xz * inv), s2 * jnp.exp(-d2_zz * inv)
+
     # --- (v, tilde_ell) joint draw --------------------------------------
-    K_te_12 = rbf(x, Z, s2_te, ls_te)  # (B, M)
-    K_te_22 = rbf(Z, Z, s2_te, ls_te)  # (M, M)
+    K_te_12, K_te_22 = _rbf_pair(s2_te, ls_te)
     sampled_v = sample_full_cov(k_v, params.mu_v, tril_mask(params.sqrt_v), jitter)
     P_te = conditional_projection(K_te_12, K_te_22, jitter)
     mu_te = mgp_mean(P_te, sampled_v)
@@ -187,10 +198,8 @@ def _sample_latents(
     ell_X = jnp.exp(tilde_ell)
 
     # --- coefficient matrix L(x) ----------------------------------------
-    K_L0_12 = rbf(x, Z, s2_L0, ls_L0)
-    K_L0_22 = rbf(Z, Z, s2_L0, ls_L0)
-    K_L1_12 = rbf(x, Z, s2_L1, ls_L1)
-    K_L1_22 = rbf(Z, Z, s2_L1, ls_L1)
+    K_L0_12, K_L0_22 = _rbf_pair(s2_L0, ls_L0)
+    K_L1_12, K_L1_22 = _rbf_pair(s2_L1, ls_L1)
     P0 = conditional_projection(K_L0_12, K_L0_22, jitter)
     P1 = conditional_projection(K_L1_12, K_L1_22, jitter)
 
@@ -239,25 +248,32 @@ def _sample_latents(
 
 
 def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER):
-    """The three KL groups (nmgp_dsvi.py:266-295)."""
+    """The three KL groups (nmgp_dsvi.py:266-295).
+
+    The four M x M prior covariances factor in ONE batched Cholesky."""
+    from ..ops.linalg import kl_gaussian_chol
+
     D = params.num_outputs
     M = params.num_inducing
     zeros = jnp.zeros((M,), params.mu_v.dtype)
 
+    priors = jnp.stack([lat.K_G_22, lat.K_tildeell_22, lat.K_L1_22, lat.K_L0_22])
+    Lp = jnp.linalg.cholesky(priors + jitter * jnp.eye(M, dtype=priors.dtype))
+
     kl_W = jnp.sum(
-        kl_gaussian(params.mu_W, tril_mask(params.sqrt_W), zeros, lat.K_G_22, jitter)
+        kl_gaussian_chol(params.mu_W, tril_mask(params.sqrt_W), zeros, Lp[0], jitter)
     )
-    kl_v = kl_gaussian(params.mu_v, tril_mask(params.sqrt_v), zeros, lat.K_tildeell_22, jitter)
+    kl_v = kl_gaussian_chol(params.mu_v, tril_mask(params.sqrt_v), zeros, Lp[1], jitter)
 
     dd = jnp.arange(D)
     sqrt_U_tril = tril_mask(params.sqrt_U)
     kl_U = jnp.sum(
-        kl_gaussian(params.mu_U[dd, dd], sqrt_U_tril[dd, dd], zeros, lat.K_L1_22, jitter)
+        kl_gaussian_chol(params.mu_U[dd, dd], sqrt_U_tril[dd, dd], zeros, Lp[2], jitter)
     )
     if D > 1:
         ii, jj = _offdiag_indices(D)
         kl_U = kl_U + jnp.sum(
-            kl_gaussian(params.mu_U[ii, jj], sqrt_U_tril[ii, jj], zeros, lat.K_L0_22, jitter)
+            kl_gaussian_chol(params.mu_U[ii, jj], sqrt_U_tril[ii, jj], zeros, Lp[3], jitter)
         )
     return kl_W, kl_v, kl_U
 

@@ -35,6 +35,7 @@ __all__ = [
     "mgp_mean_var",
     "mgp_mean",
     "kl_gaussian",
+    "kl_gaussian_chol",
 ]
 
 
@@ -222,10 +223,16 @@ def kl_gaussian(mu_q, scale_tril_q, mu_p, K_p, jitter=DSVI_JITTER):
     variational sqrt parameter); mu_p: (M,); K_p: (M, M).
     Returns KL with shape (...,).
     """
+    Lp = chol_with_jitter(K_p, jitter)
+    return kl_gaussian_chol(mu_q, scale_tril_q, mu_p, Lp, jitter)
+
+
+def kl_gaussian_chol(mu_q, scale_tril_q, mu_p, Lp, jitter=DSVI_JITTER):
+    """`kl_gaussian` with a precomputed prior Cholesky Lp = chol(K_p + jI)
+    — lets call sites batch the prior factorizations."""
     m = mu_q.shape[-1]
     Sigma_q = jnp.einsum("...ij,...kj->...ik", scale_tril_q, scale_tril_q)
     Lq = chol_with_jitter(Sigma_q, jitter)
-    Lp = chol_with_jitter(K_p, jitter)
 
     logdet_q = jnp.sum(jnp.log(jnp.diagonal(Lq, axis1=-2, axis2=-1)), axis=-1)
     logdet_p = jnp.sum(jnp.log(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1)
