@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def _tpu_alive(timeout_s: int = 240) -> bool:
+def _tpu_alive(timeout_s: int = 480) -> bool:
     """Probe the chip in a subprocess: a wedged axon grant hangs forever in
     native code, so the only safe check is an expendable child process."""
     code = (

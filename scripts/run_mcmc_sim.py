@@ -41,6 +41,7 @@ def main():
     p.add_argument("--sampler", choices=["nuts", "hmc"], default="nuts")
     p.add_argument("--centered", action="store_true",
                    help="use the centered parameterization (default: whitened)")
+    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -76,7 +77,7 @@ def main():
 
     N, M = args.N, 2
     T = ld.tri_size(M)
-    x, true_l, true_L_vecs, true_s2e, Y = sim_mnts(M=M, N=N, seed=0)
+    x, true_l, true_L_vecs, true_s2e, Y = sim_mnts(M=M, N=N, seed=args.seed)
     true_tilde_l = np.log(true_l)
     true_corr = lvecs_to_corr(true_L_vecs, N, M, constrained=True)[:, 0, 1]
 
@@ -131,11 +132,11 @@ def main():
                 a=hypers["a"], b=hypers["b"],
             )
 
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(args.seed)
     inits = jnp.asarray(init)[None, :] + 0.01 * jax.random.normal(
         key, (args.chains, dim)
     )
-    keys = jax.random.split(jax.random.PRNGKey(1), args.chains)
+    keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), args.chains)
 
     runner = run_nuts if args.sampler == "nuts" else run_hmc
     kwargs = (

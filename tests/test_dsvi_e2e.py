@@ -140,3 +140,24 @@ def test_apply_hyperpars_intended_semantics():
     out = apply_hyperpars(params, {"sigma2_L1_log": 3.0})
     assert float(out.sigma2_L1_log) == 3.0
     assert float(out.sigma2_L0_log) == float(params.sigma2_L0_log)
+
+
+def test_inference_resume_from_checkpoint(tmp_path):
+    """continuous_training=True resumes params+optimizer from PATH
+    (reference nmgp_dsvi.py:789-792)."""
+    X_list, Y_list, _, _ = load_sim_pickle(PICKLE)
+    z = np.linspace(0, 1, 6)
+    path = os.path.join(tmp_path, "ckpt.pkl")
+    res1 = inference(
+        X_list, Y_list, z, batch_size=0, dim_outputs=2, lr=0.01, itnum=20,
+        hyperpars=HYPERPARS, seed=0, show_ELBO=False, PATH=path, save_model=True,
+    )
+    res2 = inference(
+        X_list, Y_list, z, batch_size=0, dim_outputs=2, lr=0.01, itnum=10,
+        hyperpars=HYPERPARS, seed=0, show_ELBO=False, PATH=path,
+        continuous_training=True,
+    )
+    # resumed run must start near the saved loss, far below a fresh start
+    fresh_first = res1.loss_list[0]
+    resumed_first = res2.loss_list[0]
+    assert resumed_first < 0.7 * fresh_first
