@@ -39,21 +39,30 @@ from .logdensities import svc_covariance, tri_size
 
 __all__ = [
     "snmgp_predsample",
+    "snmgp_predmap",
     "snmgp_predmap_sampling",
     "svc_predsample",
+    "svc_predmap",
     "svc_predmap_sampling",
     "lmc_predsample",
+    "lmc_predmap",
+    "snmgp_latent_predsample",
+    "svc_latent_predsample",
     "snmgp_hadamard_predsample",
+    "snmgp_hadamard_predmap",
     "lmc_hadamard_predsample",
+    "lmc_hadamard_predmap",
     "svc_hadamard_predsample",
+    "svc_hadamard_predmap",
 ]
 
 
-def _cond_gp_draw(key, vals, x, x_star, mu, alpha, beta, jitter=None):
-    """Conditional draw of a latent GP at x_star given its values at x under
-    a stationary RBF prior (prediction.py:52-71 idiom).
+def _cond_gp_moments(vals, x, x_star, mu, alpha, beta, jitter=None):
+    """Conditional mean/variance of a latent GP at x_star given its values at
+    x under a stationary RBF prior (prediction.py:52-71 idiom).
 
-    Returns a scalar sample.  x: (N,), vals: (N,), x_star: scalar.
+    x: (N,), vals: (N,), x_star: scalar.  Returns (mean, var) scalars; var is
+    floored at settings.precision like the reference (prediction.py:59-60).
     """
     from .logdensities import _prior_jitter
 
@@ -66,7 +75,12 @@ def _cond_gp_draw(key, vals, x, x_star, mu, alpha, beta, jitter=None):
     w = jax.scipy.linalg.cho_solve((L, True), kxs)
     mean = mu + jnp.dot(w, vals - mu)
     var = alpha**2 - jnp.dot(w, kxs)
-    var = jnp.maximum(var, PRECISION)
+    return mean, jnp.maximum(var, PRECISION)
+
+
+def _cond_gp_draw(key, vals, x, x_star, mu, alpha, beta, jitter=None):
+    """Conditional draw of a latent GP at x_star (see `_cond_gp_moments`)."""
+    mean, var = _cond_gp_moments(vals, x, x_star, mu, alpha, beta, jitter)
     return mean + jnp.sqrt(var) * jax.random.normal(key, dtype=x.dtype)
 
 
@@ -115,6 +129,32 @@ def _snmgp_precompute(draw, Y, x) -> _SNMGPCache:
     )
 
 
+def _snmgp_ystar_moments(cache: _SNMGPCache, x_star, l_star, s_star):
+    """Predictive (mu_y, sigma2_y) of y*(M,) at scalar x_star given latent
+    values (l_star, s_star) there (prediction.py:84-122 math)."""
+    M = cache.B_f.shape[0]
+    # cross-covariance k_x(x, x*) under the Gibbs kernel
+    k_x = nonstationary_rbf(
+        cache.x,
+        x_star[None],
+        sigma1=cache.sigma,
+        ell1=cache.l,
+        sigma2=s_star[None],
+        ell2=l_star[None],
+    )[:, 0]
+    # A[m] = Uᵀ (B_f[:, m] ⊗ k_x) in the eigenbasis: (M, MN)
+    kv = cache.v_K.T @ k_x  # (N,)
+    A = (cache.v_B.T @ cache.B_f)[:, :, None] * kv[None, None, :]  # (Mb, M, N)
+    A = A.transpose(1, 0, 2).reshape(M, -1)  # rows: output m, cols: eigenbasis
+    mu_f = A @ (cache.b * cache.wt)
+    prior_var = jnp.diag(cache.B_f) * nonstationary_rbf(
+        x_star[None], sigma1=s_star[None], ell1=l_star[None]
+    )[0, 0]
+    sigma2_f = prior_var - jnp.sum(A * A * cache.wt[None, :], axis=1)
+    sigma2_y = jnp.maximum(sigma2_f + cache.sigma2_err, PRECISION)
+    return mu_f, sigma2_y
+
+
 def _snmgp_predict_point(
     cache: _SNMGPCache,
     x_star,
@@ -140,30 +180,10 @@ def _snmgp_predict_point(
         alpha_tilde_sigma,
         beta_tilde_sigma,
     )
-    l_star = jnp.exp(tl_star)
-    s_star = jnp.exp(ts_star)
-
+    mu_f, sigma2_y = _snmgp_ystar_moments(
+        cache, x_star, jnp.exp(tl_star), jnp.exp(ts_star)
+    )
     M = cache.B_f.shape[0]
-    N = cache.x.shape[0]
-    # cross-covariance k_x(x, x*) under the Gibbs kernel
-    k_x = nonstationary_rbf(
-        cache.x,
-        x_star[None],
-        sigma1=cache.sigma,
-        ell1=cache.l,
-        sigma2=s_star[None],
-        ell2=l_star[None],
-    )[:, 0]
-    # A[m] = Uᵀ (B_f[:, m] ⊗ k_x) in the eigenbasis: (M, MN)
-    kv = cache.v_K.T @ k_x  # (N,)
-    A = (cache.v_B.T @ cache.B_f)[:, :, None] * kv[None, None, :]  # (Mb, M, N)
-    A = A.transpose(1, 0, 2).reshape(M, -1)  # rows: output m, cols: eigenbasis
-    mu_f = A @ (cache.b * cache.wt)
-    prior_var = jnp.diag(cache.B_f) * nonstationary_rbf(
-        x_star[None], sigma1=s_star[None], ell1=l_star[None]
-    )[0, 0]
-    sigma2_f = prior_var - jnp.sum(A * A * cache.wt[None, :], axis=1)
-    sigma2_y = jnp.maximum(sigma2_f + cache.sigma2_err, PRECISION)
     return mu_f + jnp.sqrt(sigma2_y) * jax.random.normal(k_y, (M,), cache.x.dtype)
 
 
@@ -238,6 +258,55 @@ def snmgp_predmap_sampling(
     return snmgp_predsample(hists, Y, x, x_stars, seed=seed, **hyper_kwargs)
 
 
+def snmgp_predmap(
+    map_draw,
+    Y,
+    x,
+    x_stars,
+    mu_tilde_l=0.0,
+    alpha_tilde_l=1.0,
+    beta_tilde_l=1.0,
+    mu_tilde_sigma=0.0,
+    alpha_tilde_sigma=1.0,
+    beta_tilde_sigma=1.0,
+):
+    """Analytic plug-in MAP prediction (`point_predmap`/`pointwise_predmap`/
+    `test_predmap`, prediction.py:337-459): latent processes at x* set to
+    their conditional *means*, predictive y* moments computed in closed form.
+
+    Returns (3, n_grid, M): [mu - 1.96 sigma, mu, mu + 1.96 sigma], the
+    reference's `percentile_y` stack (prediction.py:405-407).
+    """
+    Y = jnp.asarray(Y)
+    x = jnp.asarray(x)
+    x_stars = jnp.asarray(x_stars).reshape(-1)
+    draw = tuple(jnp.asarray(v) for v in map_draw)
+
+    @jax.jit
+    def run():
+        cache = _snmgp_precompute(draw, Y, x)
+
+        def point(xs):
+            ml, _ = _cond_gp_moments(
+                cache.tilde_l, cache.x, xs, mu_tilde_l, alpha_tilde_l, beta_tilde_l
+            )
+            ms, _ = _cond_gp_moments(
+                cache.tilde_sigma,
+                cache.x,
+                xs,
+                mu_tilde_sigma,
+                alpha_tilde_sigma,
+                beta_tilde_sigma,
+            )
+            mu_f, sigma2_y = _snmgp_ystar_moments(cache, xs, jnp.exp(ml), jnp.exp(ms))
+            sd = jnp.sqrt(sigma2_y)
+            return jnp.stack([mu_f - 1.96 * sd, mu_f, mu_f + 1.96 * sd])
+
+        return jax.vmap(point, out_axes=1)(x_stars)  # (3, n_grid, M)
+
+    return np.asarray(run())
+
+
 # ---------------------------------------------------------------------------
 # SVC (varying covariance): dense-Cholesky cache
 # ---------------------------------------------------------------------------
@@ -269,6 +338,26 @@ def _svc_precompute(draw, Y, x) -> _SVCCache:
     )
 
 
+def _svc_ystar_moments(cache: _SVCCache, x_star, l_star, L_star):
+    """Predictive (mu_y, sigma2_y) of y*(M,) at scalar x_star given latent
+    values (l_star, L_star) there (prediction.py:1285-1312 math)."""
+    N, Mdim, _ = cache.L_f.shape
+    # cross covariance: k[(i,n), j] = k_x(x_n, x*) <L_f[n,i,:], L_star[j,:]>
+    k_x = nonstationary_rbf(cache.x, x_star[None], ell1=cache.l, ell2=l_star[None])[
+        :, 0
+    ]  # (N,)
+    cross = jnp.einsum("n,nia,ja->inj", k_x, cache.L_f, L_star)  # (M, N, M)
+    k_f = cross.reshape(Mdim * N, Mdim)
+    mu_f = k_f.T @ cache.alpha
+    prior = nonstationary_rbf(x_star[None], ell1=l_star[None])[0, 0] * (
+        L_star @ L_star.T
+    )
+    V = jax.scipy.linalg.solve_triangular(cache.chol_S, k_f, lower=True)
+    Sigma_f = prior - V.T @ V
+    sigma2_y = jnp.maximum(jnp.diag(Sigma_f) + cache.sigma2_err, PRECISION)
+    return mu_f, sigma2_y
+
+
 def _svc_predict_point(
     cache: _SVCCache,
     x_star,
@@ -288,26 +377,12 @@ def _svc_predict_point(
     tl_star = _cond_gp_draw(
         keys[0], cache.tilde_l, cache.x, x_star, mu_tilde_l, alpha_tilde_l, beta_tilde_l
     )
-    l_star = jnp.exp(tl_star)
     # conditional draw of each unconstrained Cholesky-entry process
     u_star = jax.vmap(
         lambda col, k: _cond_gp_draw(k, col, cache.x, x_star, mu_L, alpha_L, beta_L)
     )(cache.U.T, keys[1 : T + 1])
     L_star = vec_to_tril(uvec_to_lvec(u_star, Mdim), Mdim)  # (M, M)
-
-    # cross covariance: k[(i,n), j] = k_x(x_n, x*) <L_f[n,i,:], L_star[j,:]>
-    k_x = nonstationary_rbf(cache.x, x_star[None], ell1=cache.l, ell2=l_star[None])[
-        :, 0
-    ]  # (N,)
-    cross = jnp.einsum("n,nia,ja->inj", k_x, cache.L_f, L_star)  # (M, N, M)
-    k_f = cross.reshape(Mdim * N, Mdim)
-    mu_f = k_f.T @ cache.alpha
-    prior = nonstationary_rbf(x_star[None], ell1=l_star[None])[0, 0] * (
-        L_star @ L_star.T
-    )
-    V = jax.scipy.linalg.solve_triangular(cache.chol_S, k_f, lower=True)
-    Sigma_f = prior - V.T @ V
-    sigma2_y = jnp.maximum(jnp.diag(Sigma_f) + cache.sigma2_err, PRECISION)
+    mu_f, sigma2_y = _svc_ystar_moments(cache, x_star, jnp.exp(tl_star), L_star)
     return mu_f + jnp.sqrt(sigma2_y) * jax.random.normal(
         keys[-1], (Mdim,), cache.x.dtype
     )
@@ -370,6 +445,51 @@ def svc_predmap_sampling(n_sample, map_draw, Y, x, x_stars, seed=0, **kw):
     return svc_predsample(hists, Y, x, x_stars, seed=seed, **kw)
 
 
+def svc_predmap(
+    map_draw,
+    Y,
+    x,
+    x_stars,
+    mu_tilde_l=0.0,
+    alpha_tilde_l=5.0,
+    beta_tilde_l=1.0,
+    mu_L=0.0,
+    alpha_L=5.0,
+    beta_L=1.0,
+):
+    """Analytic plug-in SVC MAP prediction (`point_predmap_inhomogeneous`,
+    prediction.py:912-1036): conditional *means* of tilde_l* and of every
+    unconstrained Cholesky-entry process at x*, closed-form y* moments.
+
+    Returns (3, n_grid, M): [mu - 1.96 sigma, mu, mu + 1.96 sigma].
+    """
+    Y = jnp.asarray(Y)
+    x = jnp.asarray(x)
+    x_stars = jnp.asarray(x_stars).reshape(-1)
+    draw = tuple(jnp.asarray(v) for v in map_draw)
+    Mdim = Y.shape[1]
+
+    @jax.jit
+    def run():
+        cache = _svc_precompute(draw, Y, x)
+
+        def point(xs):
+            ml, _ = _cond_gp_moments(
+                cache.tilde_l, cache.x, xs, mu_tilde_l, alpha_tilde_l, beta_tilde_l
+            )
+            u_star = jax.vmap(
+                lambda col: _cond_gp_moments(col, cache.x, xs, mu_L, alpha_L, beta_L)[0]
+            )(cache.U.T)
+            L_star = vec_to_tril(uvec_to_lvec(u_star, Mdim), Mdim)
+            mu_f, sigma2_y = _svc_ystar_moments(cache, xs, jnp.exp(ml), L_star)
+            sd = jnp.sqrt(sigma2_y)
+            return jnp.stack([mu_f - 1.96 * sd, mu_f, mu_f + 1.96 * sd])
+
+        return jax.vmap(point, out_axes=1)(x_stars)
+
+    return np.asarray(run())
+
+
 # ---------------------------------------------------------------------------
 # LMC (stationary): SNMGP machinery with constant latent processes
 # ---------------------------------------------------------------------------
@@ -406,24 +526,10 @@ def lmc_predsample(hists, Y, x, x_stars, n_sample=None, seed=0):
 
             def point(xs, k):
                 # constant latent processes: no conditional draw needed
-                l_star = jnp.exp(tl)
-                s_star = jnp.exp(ts)
                 M = cache.B_f.shape[0]
-                k_x = nonstationary_rbf(
-                    cache.x,
-                    xs[None],
-                    sigma1=cache.sigma,
-                    ell1=cache.l,
-                    sigma2=s_star[None],
-                    ell2=l_star[None],
-                )[:, 0]
-                kv = cache.v_K.T @ k_x
-                A = (cache.v_B.T @ cache.B_f)[:, :, None] * kv[None, None, :]
-                A = A.transpose(1, 0, 2).reshape(M, -1)
-                mu_f = A @ (cache.b * cache.wt)
-                prior_var = jnp.diag(cache.B_f) * (s_star**2)
-                sigma2_f = prior_var - jnp.sum(A * A * cache.wt[None, :], axis=1)
-                sigma2_y = jnp.maximum(sigma2_f + cache.sigma2_err, PRECISION)
+                mu_f, sigma2_y = _snmgp_ystar_moments(
+                    cache, xs, jnp.exp(tl), jnp.exp(ts)
+                )
                 return mu_f + jnp.sqrt(sigma2_y) * jax.random.normal(
                     k, (M,), x.dtype
                 )
@@ -434,6 +540,152 @@ def lmc_predsample(hists, Y, x, x_stars, n_sample=None, seed=0):
         return out.transpose(1, 0, 2)
 
     return np.asarray(run())
+
+
+def lmc_predmap(map_draw, Y, x, x_stars):
+    """Analytic plug-in stationary-LMC MAP prediction
+    (`pointwise_predmap_S`/`test_predmap_S`, prediction.py:1532-1604).
+
+    map_draw: (tilde_l, tilde_sigma, uL_vec, tilde_sigma2_err) scalars/vec.
+    Returns (3, n_grid, M): [mu - 1.96 sigma, mu, mu + 1.96 sigma].
+    """
+    Y = jnp.asarray(Y)
+    x = jnp.asarray(x)
+    x_stars = jnp.asarray(x_stars).reshape(-1)
+    tl, ts, uL, ts2e = (jnp.asarray(v) for v in map_draw)
+    N = x.shape[0]
+
+    @jax.jit
+    def run():
+        draw = (tl * jnp.ones(N, x.dtype), ts * jnp.ones(N, x.dtype), uL, ts2e)
+        cache = _snmgp_precompute(draw, Y, x)
+
+        def point(xs):
+            mu_f, sigma2_y = _snmgp_ystar_moments(cache, xs, jnp.exp(tl), jnp.exp(ts))
+            sd = jnp.sqrt(sigma2_y)
+            return jnp.stack([mu_f - 1.96 * sd, mu_f, mu_f + 1.96 * sd])
+
+        return jax.vmap(point, out_axes=1)(x_stars)
+
+    return np.asarray(run())
+
+
+# ---------------------------------------------------------------------------
+# Latent-process prediction (the reference's `pred_smoothness` / `pred_cov`
+# modes of point_predmap_inhomogeneous_sampling, prediction.py:1038-1160,
+# used by synthetic_plot.py for lengthscale / covariance-process recovery)
+# ---------------------------------------------------------------------------
+
+
+def snmgp_latent_predsample(
+    hists,
+    x,
+    x_stars,
+    mu_tilde_l=0.0,
+    alpha_tilde_l=1.0,
+    beta_tilde_l=1.0,
+    mu_tilde_sigma=0.0,
+    alpha_tilde_sigma=1.0,
+    beta_tilde_sigma=1.0,
+    n_sample=None,
+    seed=0,
+):
+    """Conditional draws of the SNMGP latent processes at x_stars.
+
+    hists: (tilde_l_hist (S,N), tilde_sigma_hist (S,N)) — extra history
+    entries are ignored, so the full 4-tuple may be passed.  Returns
+    (tilde_l_stars, tilde_sigma_stars) each (S, n_grid).
+    """
+    x = jnp.asarray(x)
+    x_stars = jnp.asarray(x_stars).reshape(-1)
+    tl_h = jnp.asarray(hists[0])
+    ts_h = jnp.asarray(hists[1])
+    if n_sample is not None:
+        tl_h, ts_h = tl_h[-n_sample:], ts_h[-n_sample:]
+    S, G = tl_h.shape[0], x_stars.shape[0]
+    keys = jax.random.split(jax.random.PRNGKey(seed), S * G * 2).reshape(S, G, 2, 2)
+
+    @jax.jit
+    def run():
+        def per_draw(tl, ts, ks):
+            def point(xs, kk):
+                a = _cond_gp_draw(
+                    kk[0], tl, x, xs, mu_tilde_l, alpha_tilde_l, beta_tilde_l
+                )
+                b = _cond_gp_draw(
+                    kk[1],
+                    ts,
+                    x,
+                    xs,
+                    mu_tilde_sigma,
+                    alpha_tilde_sigma,
+                    beta_tilde_sigma,
+                )
+                return a, b
+
+            return jax.vmap(point)(x_stars, ks)
+
+        return jax.vmap(per_draw)(tl_h, ts_h, keys)
+
+    a, b = run()
+    return np.asarray(a), np.asarray(b)
+
+
+def svc_latent_predsample(
+    hists,
+    x,
+    x_stars,
+    mu_tilde_l=0.0,
+    alpha_tilde_l=5.0,
+    beta_tilde_l=1.0,
+    mu_L=0.0,
+    alpha_L=5.0,
+    beta_L=1.0,
+    n_sample=None,
+    seed=0,
+):
+    """Conditional draws of the SVC latent processes at x_stars
+    (`pred_smoothness`/`pred_cov`, prediction.py:1057-1104).
+
+    hists: (tilde_l_hist (S,N), uL_vecs_hist (S,N*T), ...).  Returns
+    (tilde_l_stars (S, n_grid), L_f_stars (S, n_grid, M, M)) with the
+    exp-diagonal transform applied (covariance process B* = L* L*ᵀ).
+    """
+    x = jnp.asarray(x)
+    x_stars = jnp.asarray(x_stars).reshape(-1)
+    tl_h = jnp.asarray(hists[0])
+    uL_h = jnp.asarray(hists[1])
+    if n_sample is not None:
+        tl_h, uL_h = tl_h[-n_sample:], uL_h[-n_sample:]
+    N = x.shape[0]
+    T = uL_h.shape[1] // N
+    M = int((np.sqrt(8 * T + 1) - 1) / 2)
+    S, G = tl_h.shape[0], x_stars.shape[0]
+    keys = jax.random.split(jax.random.PRNGKey(seed), S * G * (T + 1)).reshape(
+        S, G, T + 1, 2
+    )
+
+    @jax.jit
+    def run():
+        def per_draw(tl, uL, ks):
+            U = uL.reshape(N, T)
+
+            def point(xs, kk):
+                a = _cond_gp_draw(
+                    kk[0], tl, x, xs, mu_tilde_l, alpha_tilde_l, beta_tilde_l
+                )
+                u_star = jax.vmap(
+                    lambda col, k: _cond_gp_draw(k, col, x, xs, mu_L, alpha_L, beta_L)
+                )(U.T, kk[1:])
+                L_star = vec_to_tril(uvec_to_lvec(u_star, M), M)
+                return a, L_star
+
+            return jax.vmap(point)(x_stars, ks)
+
+        return jax.vmap(per_draw)(tl_h, uL_h, keys)
+
+    a, L = run()
+    return np.asarray(a), np.asarray(L)
 
 
 # ---------------------------------------------------------------------------
@@ -510,14 +762,6 @@ def snmgp_hadamard_predsample(
 
             def point(xs, kk):
                 tl_star = _cond_gp_draw(
-                    jax.random.fold_in(kk[0, 0], 0) * 0 + kk[0],
-                    tilde_l,
-                    x,
-                    xs,
-                    mu_tilde_l,
-                    alpha_tilde_l,
-                    beta_tilde_l,
-                ) if False else _cond_gp_draw(
                     kk[0], tilde_l, x, xs, mu_tilde_l, alpha_tilde_l, beta_tilde_l
                 )
                 ts_star = _cond_gp_draw(
@@ -673,5 +917,176 @@ def svc_hadamard_predsample(
 
         out = jax.vmap(per_draw)(hists, keys)
         return out.transpose(1, 0, 2)
+
+    return np.asarray(run())
+
+
+# ---------------------------------------------------------------------------
+# Hadamard plug-in MAP prediction (analytic, conditional-mean latents):
+# point_predmap_hadamard (prediction.py:710-786), point_predmap_S_hadamard
+# (:1661-1744), point_predmap_SVC_hadamard (:1367-1530).  Predicting all M
+# tasks per x* subsumes the reference's `indexedpoint_*` variants — column m
+# of the output IS the indexedpoint result for indx_star=m (the per-task
+# predictive moments are marginal).
+# ---------------------------------------------------------------------------
+
+
+def _percentiles(mu_f, sigma2_y):
+    sd = jnp.sqrt(sigma2_y)
+    return jnp.stack([mu_f - 1.96 * sd, mu_f, mu_f + 1.96 * sd])
+
+
+def snmgp_hadamard_predmap(
+    map_draw,
+    x,
+    indx,
+    y,
+    num_tasks,
+    x_stars,
+    mu_tilde_l=0.0,
+    alpha_tilde_l=1.0,
+    beta_tilde_l=1.0,
+    mu_tilde_sigma=0.0,
+    alpha_tilde_sigma=1.0,
+    beta_tilde_sigma=1.0,
+):
+    """Heterotopic SNMGP plug-in MAP prediction (`point_predmap_hadamard`,
+    prediction.py:710-786).  Returns (3, n_grid, M)."""
+    x = jnp.asarray(x)
+    indx = jnp.asarray(indx)
+    y = jnp.asarray(y)
+    x_stars = jnp.asarray(x_stars).reshape(-1)
+    tilde_l, tilde_sigma, L_vec, ts2e = (jnp.asarray(v) for v in map_draw)
+    M, N = num_tasks, x.shape[0]
+
+    @jax.jit
+    def run():
+        L = vec_to_tril(L_vec, M)  # raw L_vec, like logpos.py:517
+        B_f = L @ L.T
+        l = jnp.exp(tilde_l)
+        sig = jnp.exp(tilde_sigma)
+        s2e = jnp.exp(ts2e)
+        K_x = nonstationary_rbf(x, sigma1=sig, ell1=l) + MCMC_JITTER * jnp.eye(
+            N, dtype=x.dtype
+        )
+        Smat = K_x * B_f[indx[:, None], indx[None, :]] + s2e * jnp.eye(N, dtype=x.dtype)
+        chol_S = jnp.linalg.cholesky(Smat)
+        alpha = jax.scipy.linalg.cho_solve((chol_S, True), y)
+
+        def point(xs):
+            ml, _ = _cond_gp_moments(
+                tilde_l, x, xs, mu_tilde_l, alpha_tilde_l, beta_tilde_l
+            )
+            ms, _ = _cond_gp_moments(
+                tilde_sigma, x, xs, mu_tilde_sigma, alpha_tilde_sigma, beta_tilde_sigma
+            )
+            l_star, s_star = jnp.exp(ml), jnp.exp(ms)
+            k_x = nonstationary_rbf(
+                x, xs[None], sigma1=sig, ell1=l, sigma2=s_star[None], ell2=l_star[None]
+            )[:, 0]
+            cross = k_x[:, None] * B_f[indx, :]
+            mu_f = cross.T @ alpha
+            V = jax.scipy.linalg.solve_triangular(chol_S, cross, lower=True)
+            prior_var = jnp.diag(B_f) * (s_star**2)
+            sigma2_y = jnp.maximum(prior_var - jnp.sum(V * V, axis=0) + s2e, PRECISION)
+            return _percentiles(mu_f, sigma2_y)
+
+        return jax.vmap(point, out_axes=1)(x_stars)
+
+    return np.asarray(run())
+
+
+def lmc_hadamard_predmap(map_draw, x, indx, y, num_tasks, x_stars):
+    """Heterotopic stationary-LMC plug-in MAP prediction
+    (`point_predmap_S_hadamard`, prediction.py:1661-1744).
+    Returns (3, n_grid, M)."""
+    x = jnp.asarray(x)
+    indx = jnp.asarray(indx)
+    y = jnp.asarray(y)
+    x_stars = jnp.asarray(x_stars).reshape(-1)
+    tl, ts, L_vec, ts2e = (jnp.asarray(v) for v in map_draw)
+    M, N = num_tasks, x.shape[0]
+
+    @jax.jit
+    def run():
+        L = vec_to_tril(L_vec, M)
+        B_f = L @ L.T
+        l, sig, s2e = jnp.exp(tl), jnp.exp(ts), jnp.exp(ts2e)
+        K_x = rbf(x, x, sig**2, l) + MCMC_JITTER * jnp.eye(N, dtype=x.dtype)
+        Smat = K_x * B_f[indx[:, None], indx[None, :]] + s2e * jnp.eye(N, dtype=x.dtype)
+        chol_S = jnp.linalg.cholesky(Smat)
+        alpha = jax.scipy.linalg.cho_solve((chol_S, True), y)
+
+        def point(xs):
+            k_x = rbf(x, xs[None], sig**2, l)[:, 0]
+            cross = k_x[:, None] * B_f[indx, :]
+            mu_f = cross.T @ alpha
+            V = jax.scipy.linalg.solve_triangular(chol_S, cross, lower=True)
+            prior_var = jnp.diag(B_f) * (sig**2)
+            sigma2_y = jnp.maximum(prior_var - jnp.sum(V * V, axis=0) + s2e, PRECISION)
+            return _percentiles(mu_f, sigma2_y)
+
+        return jax.vmap(point, out_axes=1)(x_stars)
+
+    return np.asarray(run())
+
+
+def svc_hadamard_predmap(
+    map_draw,
+    x,
+    indx,
+    y,
+    num_tasks,
+    x_stars,
+    mu_tilde_l=0.0,
+    alpha_tilde_l=1.0,
+    beta_tilde_l=1.0,
+    mu_L=0.0,
+    alpha_L=1.0,
+    beta_L=1.0,
+):
+    """Heterotopic SVC plug-in MAP prediction (`point_predmap_SVC_hadamard`,
+    prediction.py:1367-1530).  Raw per-point Cholesky vecs like
+    logpos_hadamard_SVC.  Returns (3, n_grid, M)."""
+    x = jnp.asarray(x)
+    indx = jnp.asarray(indx)
+    y = jnp.asarray(y)
+    x_stars = jnp.asarray(x_stars).reshape(-1)
+    tilde_l, L_vecs, ts2e = (jnp.asarray(v) for v in map_draw)
+    M, N = num_tasks, x.shape[0]
+    T = tri_size(M)
+
+    @jax.jit
+    def run():
+        U = L_vecs.reshape(N, T)
+        L_f = vec_to_tril(U, M)  # (N, M, M) raw
+        rows = L_f[jnp.arange(N), indx, :]  # (N, M)
+        l = jnp.exp(tilde_l)
+        s2e = jnp.exp(ts2e)
+        K_x = nonstationary_rbf(x, ell1=l) + MCMC_JITTER * jnp.eye(N, dtype=x.dtype)
+        Smat = K_x * (rows @ rows.T) + s2e * jnp.eye(N, dtype=x.dtype)
+        chol_S = jnp.linalg.cholesky(Smat)
+        alpha = jax.scipy.linalg.cho_solve((chol_S, True), y)
+
+        def point(xs):
+            ml, _ = _cond_gp_moments(
+                tilde_l, x, xs, mu_tilde_l, alpha_tilde_l, beta_tilde_l
+            )
+            u_star = jax.vmap(
+                lambda col: _cond_gp_moments(col, x, xs, mu_L, alpha_L, beta_L)[0]
+            )(U.T)
+            L_star = vec_to_tril(u_star, M)  # raw
+            l_star = jnp.exp(ml)
+            k_x = nonstationary_rbf(x, xs[None], ell1=l, ell2=l_star[None])[:, 0]
+            cross = k_x[:, None] * (rows @ L_star.T)
+            mu_f = cross.T @ alpha
+            V = jax.scipy.linalg.solve_triangular(chol_S, cross, lower=True)
+            prior_var = jnp.diag(L_star @ L_star.T) * nonstationary_rbf(
+                xs[None], ell1=l_star[None]
+            )[0, 0]
+            sigma2_y = jnp.maximum(prior_var - jnp.sum(V * V, axis=0) + s2e, PRECISION)
+            return _percentiles(mu_f, sigma2_y)
+
+        return jax.vmap(point, out_axes=1)(x_stars)
 
     return np.asarray(run())

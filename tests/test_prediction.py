@@ -15,8 +15,15 @@ from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import
     logdensities as ld,
 )
 from collaborative_nonstationary_multivariate_gaussian_process_tpu.models.prediction import (
+    lmc_hadamard_predmap,
+    lmc_hadamard_predsample,
+    lmc_predmap,
     lmc_predsample,
+    snmgp_predmap,
     snmgp_predsample,
+    svc_latent_predsample,
+    svc_predmap,
+    svc_predmap_sampling,
     svc_predsample,
 )
 
@@ -124,6 +131,137 @@ def test_svc_predsample_runs_and_is_sane():
 def _lvec_init():
     u = 0.2 * RNG.standard_normal(T)
     return u
+
+
+def test_snmgp_predmap_matches_dense_oracle():
+    """Plug-in MAP prediction is closed-form: with a tiny latent-prior
+    amplitude the conditional means at x* collapse to the prior means, and
+    the (3, G, M) percentile stack must match the dense-NumPy predictive."""
+    x = np.sort(RNG.random(N))
+    Y = RNG.standard_normal((N, M))
+    tilde_l = np.full(N, -1.0)
+    tilde_sigma = np.full(N, 0.2)
+    uL = 0.3 * RNG.standard_normal(T)
+    ts2e = -1.5
+    x_star = np.array([0.37])
+    mu_l, mu_s = -1.0, 0.2
+
+    out = snmgp_predmap(
+        (tilde_l, tilde_sigma, uL, ts2e),
+        Y,
+        x,
+        x_star,
+        mu_tilde_l=mu_l,
+        alpha_tilde_l=1e-3,
+        beta_tilde_l=1.0,
+        mu_tilde_sigma=mu_s,
+        alpha_tilde_sigma=1e-3,
+        beta_tilde_sigma=1.0,
+    )  # (3, 1, M)
+    assert out.shape == (3, 1, M)
+
+    jit = 1e-6
+    L = _tril_np(_uvec_np(uL, M), M)
+    B_f = L @ L.T
+    l = np.exp(tilde_l)
+    s = np.exp(tilde_sigma)
+    K_x = _gibbs_np(x, l, s) + jit * np.eye(N)
+    S_tr = np.kron(B_f, K_x) + np.exp(ts2e) * np.eye(N * M)
+    l_star = np.array([np.exp(mu_l)])
+    s_star = np.array([np.exp(mu_s)])
+    k_x = _gibbs_np(x, l, s, x_star, l_star, s_star)
+    k_f = np.kron(B_f, k_x)
+    y = Y.T.reshape(-1)
+    iS = np.linalg.inv(S_tr)
+    mu_star = k_f.T @ iS @ y
+    prior = np.diag(B_f) * float(_gibbs_np(x_star, l_star, s_star)[0, 0])
+    var_star = prior - np.diag(k_f.T @ iS @ k_f) + np.exp(ts2e)
+
+    np.testing.assert_allclose(out[1, 0], mu_star, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(
+        out[2, 0], mu_star + 1.96 * np.sqrt(var_star), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        out[0, 0], mu_star - 1.96 * np.sqrt(var_star), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_svc_predmap_agrees_with_sampling_at_train_point():
+    """At x* = a training input the latent conditionals are (near-)degenerate,
+    so plug-in means and MC means of predmap_sampling must agree."""
+    x = np.sort(RNG.random(N))
+    Y = RNG.standard_normal((N, M))
+    tilde_l = -1.0 + 0.1 * RNG.standard_normal(N)
+    uL_vecs = np.tile(0.2 * RNG.standard_normal(T), N) + 0.02 * RNG.standard_normal(
+        N * T
+    )
+    map_draw = (tilde_l, uL_vecs, -1.5)
+    x_star = np.array([x[4]])
+
+    # beta=0.1 keeps the latent-prior gram well conditioned so the
+    # conditional at a train point is actually degenerate
+    hyp = dict(beta_tilde_l=0.1, beta_L=0.1)
+    plug = svc_predmap(map_draw, Y, x, x_star, **hyp)  # (3, 1, M)
+    draws = svc_predmap_sampling(600, map_draw, Y, x, x_star, seed=1, **hyp)
+    emp_mu = draws[0].mean(axis=0)
+    # residual gap: jitter keeps the conditional sd slightly above 0 at the
+    # train point, and exp(u*) biases the MC mean relative to plug-in
+    np.testing.assert_allclose(plug[1, 0], emp_mu, atol=0.08)
+    # band ordering sanity
+    assert np.all(plug[0] < plug[1]) and np.all(plug[1] < plug[2])
+
+
+def test_svc_latent_predsample_interpolates_train_values():
+    """Conditional latent draws at a training input reproduce the stored
+    latent values (conditioning collapses there): pred_smoothness/pred_cov
+    parity, reference prediction.py:1057-1104."""
+    x = np.sort(RNG.random(N))
+    tilde_l = -1.0 + 0.3 * RNG.standard_normal(N)
+    uL_vecs = 0.2 * RNG.standard_normal(N * T)
+    S_draws = 50
+    hists = (
+        np.tile(tilde_l, (S_draws, 1)),
+        np.tile(uL_vecs, (S_draws, 1)),
+    )
+    k = 3
+    tl_stars, L_stars = svc_latent_predsample(
+        hists,
+        x,
+        np.array([x[k]]),
+        alpha_tilde_l=1.0,
+        beta_tilde_l=0.1,
+        alpha_L=1.0,
+        beta_L=0.1,
+        seed=0,
+    )
+    assert tl_stars.shape == (S_draws, 1)
+    assert L_stars.shape == (S_draws, 1, M, M)
+    # PRECISION floors the conditional sd at 1e-3, so spread stays tiny
+    np.testing.assert_allclose(tl_stars.mean(), tilde_l[k], atol=0.02)
+    U_k = uL_vecs.reshape(N, T)[k]
+    expected_L = _tril_np(_uvec_np(U_k, M), M)
+    np.testing.assert_allclose(
+        L_stars.mean(axis=0)[0], expected_L, atol=0.02
+    )
+
+
+def test_lmc_hadamard_predmap_matches_sampling_mean():
+    Nn = 30
+    x = np.sort(RNG.random(Nn))
+    indx = RNG.integers(0, M, Nn)
+    f = np.sin(2 * np.pi * x)
+    y = np.where(indx == 0, f, 0.7 * f) + 0.05 * RNG.standard_normal(Nn)
+    uL = np.array([0.0, 0.7, np.log(0.3)])
+    draw = (np.log(0.25), 0.0, uL, np.log(0.05**2))
+    x_stars = np.array([0.4, 0.6])
+
+    plug = lmc_hadamard_predmap(draw, x, indx, y, M, x_stars)  # (3, 2, M)
+    S_draws = 500
+    hists = tuple(np.tile(np.asarray(v), (S_draws,) + (1,) * np.ndim(v)) for v in draw)
+    samp = lmc_hadamard_predsample(hists, x, indx, y, M, x_stars, seed=2)
+    np.testing.assert_allclose(plug[1], samp.mean(axis=1), atol=0.05)
+    # indexedpoint subsumption: column m is the single-task prediction
+    assert plug[1].shape == (2, M)
 
 
 def test_lmc_predsample_recovers_signal():
