@@ -23,7 +23,16 @@ import optax
 
 from ..ops.kernels import rbf, sq_dist
 
-__all__ = ["fit_igpr", "predict_igpr", "fit_icm", "predict_icm"]
+__all__ = [
+    "fit_igpr",
+    "predict_igpr",
+    "fit_icm",
+    "predict_icm",
+    "fit_sgpr",
+    "predict_sgpr",
+    "fit_sicm",
+    "predict_sicm",
+]
 
 
 def exponential_kernel(x1, x2, scale2, length_scale):
@@ -181,4 +190,182 @@ def predict_icm(model: ICMModel, X_star_list: Sequence):
         var = jnp.diagonal(prior) - jnp.sum(v * v, axis=0) + noise
         means.append(np.asarray(mu))
         stds.append(np.asarray(jnp.sqrt(jnp.maximum(var, 1e-10))))
+    return means, stds
+
+
+# ---------------------------------------------------------------------------
+# Sparse baselines (Titsias collapsed bound).  The reference's real-data
+# baselines are GPy `SparseGPRegression` / `SparseGPCoregionalizedRegression`
+# with 100 inducing points (code/notebook/baseline_{PM25,HCP,ECoG}.ipynb).
+# ---------------------------------------------------------------------------
+
+
+def _titsias_parts(Kuu, Kuf, kff_diag, y, noise, jitter=1e-6):
+    """Shared Titsias-bound factorization.
+
+    Returns (bound_terms..., Luu, LB, Ay) so both the collapsed negative
+    bound and the predictive reuse one factorization.
+    """
+    M = Kuu.shape[0]
+    n = y.shape[0]
+    sigma = jnp.sqrt(noise)
+    Luu = jnp.linalg.cholesky(Kuu + jitter * jnp.eye(M, dtype=Kuu.dtype))
+    A = jax.scipy.linalg.solve_triangular(Luu, Kuf, lower=True) / sigma  # (M, n)
+    Bmat = jnp.eye(M, dtype=Kuu.dtype) + A @ A.T
+    LB = jnp.linalg.cholesky(Bmat)
+    Ay = A @ y
+    c = jax.scipy.linalg.solve_triangular(LB, Ay, lower=True) / sigma
+    nbound = (
+        0.5 * n * jnp.log(2 * jnp.pi * noise)
+        + jnp.sum(jnp.log(jnp.diagonal(LB)))
+        + 0.5 * (jnp.dot(y, y) / noise - jnp.dot(c, c))
+        + 0.5 / noise * (jnp.sum(kff_diag) - noise * jnp.sum(A * A))
+    )
+    return nbound, Luu, LB, c
+
+
+def _titsias_predict(Luu, LB, c, Kus, kss_diag, noise):
+    """SGPR predictive mean/var at test points given the shared factors."""
+    w = jax.scipy.linalg.solve_triangular(Luu, Kus, lower=True)  # (M, n*)
+    w2 = jax.scipy.linalg.solve_triangular(LB, w, lower=True)
+    mu = w2.T @ c
+    var = kss_diag - jnp.sum(w * w, axis=0) + jnp.sum(w2 * w2, axis=0) + noise
+    return mu, jnp.maximum(var, 1e-10)
+
+
+def _inducing_init(x, m):
+    """Quantile-spread inducing inputs over the data range."""
+    qs = np.quantile(np.asarray(x), np.linspace(0.0, 1.0, m))
+    return jnp.asarray(qs)
+
+
+def fit_sgpr(X_list, Y_list, num_inducing=100, kernel="exponential", steps=500, lr=0.05):
+    """Independent sparse GP per output (reference `SparseGPRegression`
+    baseline): Titsias collapsed bound, trainable inducing inputs.
+
+    Returns a list of (theta, Z, x, y) tuples; theta = [log s2, log ls,
+    log noise]."""
+    kernel_fn = _KERNELS[kernel]
+    models = []
+    for x, y in zip(X_list, Y_list):
+        x = jnp.asarray(np.asarray(x).reshape(-1))
+        y = jnp.asarray(np.asarray(y).reshape(-1))
+        m = min(num_inducing, x.shape[0])
+        pars0 = jnp.concatenate([jnp.zeros(3), _inducing_init(x, m)])
+
+        def loss(pars):
+            s2, ls, noise = jnp.exp(pars[:3])
+            Z = pars[3:]
+            Kuu = kernel_fn(Z, Z, s2, ls)
+            Kuf = kernel_fn(Z, x, s2, ls)
+            kff = jnp.full(x.shape[0], s2, x.dtype)
+            nbound, *_ = _titsias_parts(Kuu, Kuf, kff, y, noise + 1e-6)
+            return nbound
+
+        pars, _ = _fit_adam(loss, pars0, steps, lr)
+        models.append((pars[:3], pars[3:], x, y))
+    return models
+
+
+def predict_sgpr(models, X_star_list, kernel="exponential"):
+    """Predictive mean/std per output for `fit_sgpr` models."""
+    kernel_fn = _KERNELS[kernel]
+    means, stds = [], []
+    for (theta, Z, x, y), xs in zip(models, X_star_list):
+        xs = jnp.asarray(np.asarray(xs).reshape(-1))
+        s2, ls, noise = jnp.exp(theta)
+        noise = noise + 1e-6
+        Kuu = kernel_fn(Z, Z, s2, ls)
+        Kuf = kernel_fn(Z, x, s2, ls)
+        kff = jnp.full(x.shape[0], s2, x.dtype)
+        _, Luu, LB, c = _titsias_parts(Kuu, Kuf, kff, y, noise)
+        Kus = kernel_fn(Z, xs, s2, ls)
+        kss = jnp.full(xs.shape[0], s2, xs.dtype)
+        mu, var = _titsias_predict(Luu, LB, c, Kus, kss, noise)
+        means.append(np.asarray(mu))
+        stds.append(np.asarray(jnp.sqrt(var)))
+    return means, stds
+
+
+class SICMModel(NamedTuple):
+    theta: jax.Array  # [log s2, log ls, log noise, W_vec, log kappa]
+    Z: jax.Array  # (M,) inducing inputs
+    zidx: jax.Array  # (M,) inducing task indices
+    x: jax.Array
+    y: jax.Array
+    idx: jax.Array
+    D: int
+    rank: int
+    kernel: str
+
+
+def fit_sicm(
+    X_list, Y_list, num_inducing=100, rank=1, kernel="exponential", steps=500, lr=0.05
+):
+    """Sparse coregionalized GP (reference `SparseGPCoregionalizedRegression`
+    baseline): ICM kernel on the joint (x, task) space, inducing points
+    spread over x with round-robin task assignment, Titsias collapsed bound
+    with trainable inducing inputs."""
+    kernel_fn = _KERNELS[kernel]
+    D = len(X_list)
+    x = jnp.asarray(np.concatenate([np.asarray(v).reshape(-1) for v in X_list]))
+    y = jnp.asarray(np.concatenate([np.asarray(v).reshape(-1) for v in Y_list]))
+    idx = jnp.asarray(
+        np.concatenate(
+            [np.full(len(np.asarray(v).reshape(-1)), d) for d, v in enumerate(X_list)]
+        ).astype(np.int32)
+    )
+    m = min(num_inducing, x.shape[0])
+    zidx = jnp.asarray(np.arange(m, dtype=np.int32) % D)
+    n_hyp = 3 + D * rank + D
+    pars0 = jnp.concatenate(
+        [
+            jnp.zeros(3),
+            0.5 * jnp.ones(D * rank),
+            jnp.full((D,), -1.0),
+            _inducing_init(x, m),
+        ]
+    )
+
+    def loss(pars):
+        theta = pars[:n_hyp]
+        Z = pars[n_hyp:]
+        noise = jnp.exp(theta[2]) + 1e-6
+        Kuu = _icm_cov(theta, Z, zidx, Z, zidx, D, rank, kernel_fn)
+        Kuf = _icm_cov(theta, Z, zidx, x, idx, D, rank, kernel_fn)
+        kff = jnp.diagonal(_icm_cov(theta, x, idx, x, idx, D, rank, kernel_fn))
+        nbound, *_ = _titsias_parts(Kuu, Kuf, kff, y, noise)
+        return nbound
+
+    pars, _ = _fit_adam(loss, pars0, steps, lr)
+    return SICMModel(pars[:n_hyp], pars[n_hyp:], zidx, x, y, idx, D, rank, kernel)
+
+
+def predict_sicm(model: SICMModel, X_star_list: Sequence):
+    """Predictive mean/std per output for `fit_sicm` models."""
+    kernel_fn = _KERNELS[model.kernel]
+    noise = jnp.exp(model.theta[2]) + 1e-6
+    Kuu = _icm_cov(
+        model.theta, model.Z, model.zidx, model.Z, model.zidx, model.D, model.rank, kernel_fn
+    )
+    Kuf = _icm_cov(
+        model.theta, model.Z, model.zidx, model.x, model.idx, model.D, model.rank, kernel_fn
+    )
+    kff = jnp.diagonal(
+        _icm_cov(model.theta, model.x, model.idx, model.x, model.idx, model.D, model.rank, kernel_fn)
+    )
+    _, Luu, LB, c = _titsias_parts(Kuu, Kuf, kff, model.y, noise)
+    means, stds = [], []
+    for d, xs in enumerate(X_star_list):
+        xs = jnp.asarray(np.asarray(xs).reshape(-1))
+        idxs = jnp.full(xs.shape[0], d, jnp.int32)
+        Kus = _icm_cov(
+            model.theta, model.Z, model.zidx, xs, idxs, model.D, model.rank, kernel_fn
+        )
+        kss = jnp.diagonal(
+            _icm_cov(model.theta, xs, idxs, xs, idxs, model.D, model.rank, kernel_fn)
+        )
+        mu, var = _titsias_predict(Luu, LB, c, Kus, kss, noise)
+        means.append(np.asarray(mu))
+        stds.append(np.asarray(jnp.sqrt(var)))
     return means, stds

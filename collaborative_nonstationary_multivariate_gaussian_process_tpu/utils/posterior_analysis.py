@@ -153,3 +153,58 @@ def plot_posterior_bands(
         fig.savefig(save_path, bbox_inches="tight")
     plt.close(fig)
     return fig
+
+
+def plot_correlation_heatmaps(
+    x,
+    R_fs=None,
+    L_vecs=None,
+    N: Optional[int] = None,
+    M: Optional[int] = None,
+    attributes: Optional[Sequence[str]] = None,
+    save_dir: Optional[str] = None,
+    constrained: bool = True,
+):
+    """Per-input-point correlation-matrix heatmaps
+    (`visualization_pos_map_heatmap{,_withR_s}`,
+    reference posterior_analysis.py:221-268).
+
+    Either pass correlation matrices `R_fs` (N, M, M) directly, or the flat
+    per-point Cholesky vectors `L_vecs` (N*T,) plus (N, M) to build them
+    (cov2cor of L Lᵀ).  Points are sorted by x like the reference.  Diverging
+    colormap centered at 0, fixed to [-1, 1].  If `save_dir` is given, one
+    PNG per point named by its x value is written there; returns (x_sorted,
+    R_fs_sorted).
+    """
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(x).reshape(-1)
+    order = np.argsort(x)
+    x = x[order]
+    if R_fs is None:
+        R_fs = lvecs_to_corr(np.asarray(L_vecs).reshape(-1), N, M, constrained)
+    R_fs = np.asarray(R_fs)[order]
+    Mdim = R_fs.shape[-1]
+    labels = list(attributes) if attributes else [f"y{m + 1}" for m in range(Mdim)]
+
+    if save_dir is not None:
+        os.makedirs(save_dir, exist_ok=True)
+        for n in range(x.shape[0]):
+            fig, ax = plt.subplots(figsize=(4.5, 4))
+            im = ax.imshow(R_fs[n], vmin=-1.0, vmax=1.0, cmap="RdBu_r")
+            ax.set_xticks(range(Mdim))
+            ax.set_yticks(range(Mdim))
+            ax.set_xticklabels(labels, rotation=45, ha="right")
+            ax.set_yticklabels(labels)
+            ax.set_title(f"x = {x[n]:.4g}")
+            fig.colorbar(im, ax=ax, fraction=0.046)
+            fig.savefig(
+                os.path.join(save_dir, f"{x[n]}.png"), bbox_inches="tight"
+            )
+            plt.close(fig)
+    return x, R_fs

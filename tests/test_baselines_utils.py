@@ -119,3 +119,80 @@ def test_data_splits():
     assert fd.n == 12 and fd.dim_outputs == 2
     Xl, Yl = unflatten_to_lists(fd.x, fd.y, fd.idx, 2)
     assert len(Xl[0]) == 5 and len(Xl[1]) == 7
+
+
+def test_correlation_heatmaps(tmp_path):
+    """plot_correlation_heatmaps writes one PNG per point and returns the
+    x-sorted correlation stack (reference posterior_analysis.py:221-268)."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.posterior_analysis import (
+        plot_correlation_heatmaps,
+    )
+
+    N, M = 4, 3
+    T = M * (M + 1) // 2
+    L_vecs = RNG.standard_normal(N * T)
+    x = RNG.random(N)
+    out_dir = tmp_path / "corr"
+    xs, R = plot_correlation_heatmaps(
+        x, L_vecs=L_vecs, N=N, M=M, save_dir=str(out_dir)
+    )
+    assert R.shape == (N, M, M)
+    assert np.all(np.diff(xs) >= 0)
+    np.testing.assert_allclose(np.diagonal(R, axis1=1, axis2=2), 1.0, atol=1e-12)
+    assert np.all(np.abs(R) <= 1 + 1e-12)
+    assert len(list(out_dir.glob("*.png"))) == N
+
+
+def test_titsias_bound_tight_at_full_inducing():
+    """With Z = X the Titsias collapsed bound equals the exact negative log
+    marginal likelihood, and the SGPR predictive equals the exact GP
+    predictive (oracle for the sparse baselines)."""
+    import jax.numpy as jnp
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import (
+        baselines as bl,
+    )
+
+    n = 30
+    x = jnp.asarray(np.sort(RNG.random(n)))
+    y = jnp.asarray(np.sin(4 * np.asarray(x)) + 0.1 * RNG.standard_normal(n))
+    theta = jnp.asarray([0.1, -0.5, -2.0])
+    s2, ls, noise = (float(v) for v in np.exp(np.asarray(theta)))
+
+    exact = float(bl._nlml(theta, x, y, bl.exponential_kernel))
+    Kuu = bl.exponential_kernel(x, x, s2, ls)
+    kff = jnp.full(n, s2)
+    nbound, Luu, LB, c = bl._titsias_parts(Kuu, Kuu, kff, y, noise + 1e-6)
+    # jitter-limited agreement
+    assert abs(float(nbound) - exact) < 0.05 * abs(exact) + 0.5
+
+    xs = jnp.asarray(np.linspace(0.1, 0.9, 7))
+    mu_e, sd_e = bl.predict_igpr([(theta, x, y)], [xs])
+    Kus = bl.exponential_kernel(x, xs, s2, ls)
+    kss = jnp.full(7, s2)
+    mu_s, var_s = bl._titsias_predict(Luu, LB, c, Kus, kss, noise + 1e-6)
+    np.testing.assert_allclose(np.asarray(mu_s), mu_e[0], atol=2e-3)
+    np.testing.assert_allclose(np.sqrt(np.asarray(var_s)), sd_e[0], atol=2e-3)
+
+
+def test_sparse_baselines_learn_signal():
+    """SGPR and sparse ICM (the reference's real-data GPy baselines) recover
+    a smooth shared signal with far fewer inducing points than data."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models.baselines import (
+        fit_sgpr,
+        predict_sgpr,
+        fit_sicm,
+        predict_sicm,
+    )
+
+    X_list, Y_list, Xt, Yt = _toy_multioutput(n=80, n_test=20)
+    sg = fit_sgpr(X_list, Y_list, num_inducing=15, steps=400, lr=0.05)
+    mu, sd = predict_sgpr(sg, Xt)
+    err = np.sqrt(np.mean((np.concatenate(mu) - np.concatenate(Yt)) ** 2))
+    assert err < 0.35, err
+
+    si = fit_sicm(X_list, Y_list, num_inducing=20, rank=1, steps=400, lr=0.05)
+    mu2, sd2 = predict_sicm(si, Xt)
+    err2 = np.sqrt(np.mean((np.concatenate(mu2) - np.concatenate(Yt)) ** 2))
+    assert err2 < 0.35, err2
+    assert all(np.all(np.isfinite(s)) and np.all(s > 0) for s in sd + sd2)
