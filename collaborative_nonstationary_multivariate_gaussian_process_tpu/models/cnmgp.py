@@ -20,6 +20,7 @@ math is identical):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -31,7 +32,6 @@ from ..ops.distributions import normal_logprob_sum
 from ..ops.kernels import gibbs, rbf
 from ..ops.linalg import (
     conditional_projection,
-    kl_gaussian,
     mgp_mean,
     mgp_mean_var,
     sample_diag,
@@ -250,7 +250,11 @@ def _sample_latents(
 def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER):
     """The three KL groups (nmgp_dsvi.py:266-295).
 
-    The four M x M prior covariances factor in ONE batched Cholesky."""
+    The four M x M prior covariances factor in ONE batched Cholesky; the
+    q-side uses the fast diag-based logdet (exact_logdet=False) — at D=78
+    the batched re-Cholesky of the D^2 variational covariances would
+    otherwise dominate the training step (see ops/linalg.kl_gaussian_chol).
+    """
     from ..ops.linalg import kl_gaussian_chol
 
     D = params.num_outputs
@@ -260,20 +264,17 @@ def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER):
     priors = jnp.stack([lat.K_G_22, lat.K_tildeell_22, lat.K_L1_22, lat.K_L0_22])
     Lp = jnp.linalg.cholesky(priors + jitter * jnp.eye(M, dtype=priors.dtype))
 
-    kl_W = jnp.sum(
-        kl_gaussian_chol(params.mu_W, tril_mask(params.sqrt_W), zeros, Lp[0], jitter)
-    )
-    kl_v = kl_gaussian_chol(params.mu_v, tril_mask(params.sqrt_v), zeros, Lp[1], jitter)
+    kl = partial(kl_gaussian_chol, jitter=jitter, exact_logdet=False)
+    kl_W = jnp.sum(kl(params.mu_W, tril_mask(params.sqrt_W), zeros, Lp[0]))
+    kl_v = kl(params.mu_v, tril_mask(params.sqrt_v), zeros, Lp[1])
 
     dd = jnp.arange(D)
     sqrt_U_tril = tril_mask(params.sqrt_U)
-    kl_U = jnp.sum(
-        kl_gaussian_chol(params.mu_U[dd, dd], sqrt_U_tril[dd, dd], zeros, Lp[2], jitter)
-    )
+    kl_U = jnp.sum(kl(params.mu_U[dd, dd], sqrt_U_tril[dd, dd], zeros, Lp[2]))
     if D > 1:
         ii, jj = _offdiag_indices(D)
         kl_U = kl_U + jnp.sum(
-            kl_gaussian_chol(params.mu_U[ii, jj], sqrt_U_tril[ii, jj], zeros, Lp[3], jitter)
+            kl(params.mu_U[ii, jj], sqrt_U_tril[ii, jj], zeros, Lp[3])
         )
     return kl_W, kl_v, kl_U
 

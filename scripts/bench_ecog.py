@@ -42,16 +42,21 @@ def main():
     mask = freeze_mask(params, True)
     nb = -(-N // a.B)
     run = make_scan_epochs(opt, float(N), 1e-4, nb, a.B)
-    r = run(params, st, mask, Z, x, y, idx, jax.random.PRNGKey(1), 1)
+    # warmup with the SAME n_epochs: it is a static arg, a different value
+    # would recompile inside the timed region
+    r = run(params, st, mask, Z, x, y, idx, jax.random.PRNGKey(1), a.epochs)
     assert np.isfinite(float(r[2][-1])), "nonfinite loss"
-    t0 = time.time()
-    r = run(params, st, mask, Z, x, y, idx, jax.random.PRNGKey(2), a.epochs)
-    float(r[2][-1])
-    dt = time.time() - t0
     steps = a.epochs * nb
+    rates = []
+    for i in range(3):
+        t0 = time.time()
+        r = run(params, st, mask, Z, x, y, idx, jax.random.PRNGKey(2 + i), a.epochs)
+        float(r[2][-1])
+        rates.append(steps / (time.time() - t0))
+    rate = float(np.median(rates))
     print(json.dumps(dict(workload="ecog_synthetic", D=D, N=N, M=a.M, B=a.B,
-                          steps=steps, steps_per_s=steps / dt,
-                          step_ms=1000 * dt / steps)))
+                          steps=steps, steps_per_s=rate,
+                          step_ms=1000 / rate)))
 
 
 if __name__ == "__main__":

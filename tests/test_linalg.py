@@ -150,3 +150,47 @@ def test_tril_mask():
     out = np.asarray(tril_mask(jnp.asarray(X)))
     assert np.allclose(np.triu(out[0], 1), 0)
     np.testing.assert_allclose(np.tril(out[1]), np.tril(X[1]))
+
+
+def test_kl_fast_logdet_close_to_exact():
+    """exact_logdet=False (the DSVI hot path) deviates from the jittered
+    reference KL only in the q-logdet: bounded O(jitter) nats at typical
+    factor scales, and identical at jitter -> 0."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        kl_gaussian_chol,
+        chol_with_jitter,
+    )
+
+    M, B = 6, 4
+    Kp = rand_spd(M)
+    Lp = chol_with_jitter(jnp.asarray(Kp), JITTER)
+    mus = jnp.asarray(RNG.normal(size=(B, M)))
+
+    # well-conditioned factors (diag bounded away from 0, the trained-model
+    # regime): deviation is O(jitter) nats
+    Lq_pd = jnp.asarray(
+        np.stack(
+            [0.3 * np.tril(RNG.normal(size=(M, M))) + 0.5 * np.eye(M) for _ in range(B)]
+        )
+    )
+    exact = np.asarray(
+        kl_gaussian_chol(mus, Lq_pd, jnp.zeros(M), Lp, JITTER, exact_logdet=True)
+    )
+    fast = np.asarray(
+        kl_gaussian_chol(mus, Lq_pd, jnp.zeros(M), Lp, JITTER, exact_logdet=False)
+    )
+    np.testing.assert_allclose(fast, exact, atol=100 * JITTER * M)
+
+    # jitter -> 0 limit: both reduce to the same exact KL (det(LL^T)=prod d^2)
+    e0 = np.asarray(kl_gaussian_chol(mus, Lq_pd, jnp.zeros(M), Lp, 1e-12, exact_logdet=True))
+    f0 = np.asarray(kl_gaussian_chol(mus, Lq_pd, jnp.zeros(M), Lp, 1e-12, exact_logdet=False))
+    np.testing.assert_allclose(f0, e0, rtol=1e-6)
+
+    # ill-conditioned factors (near-zero diag, large off-diag): both forms
+    # stay finite; fast penalizes degenerate diagonals at least as hard
+    # (it is the j->0 exact logdet, the jittered one under-penalizes)
+    Lq_ill = jnp.asarray(np.stack([np.tril(RNG.normal(size=(M, M))) for _ in range(B)]))
+    e1 = np.asarray(kl_gaussian_chol(mus, Lq_ill, jnp.zeros(M), Lp, JITTER, exact_logdet=True))
+    f1 = np.asarray(kl_gaussian_chol(mus, Lq_ill, jnp.zeros(M), Lp, JITTER, exact_logdet=False))
+    assert np.all(np.isfinite(e1)) and np.all(np.isfinite(f1))
+    assert np.all(f1 >= e1 - 1e-6)
