@@ -136,17 +136,22 @@ def _offdiag_indices(D: int):
 
 
 class _Latents(NamedTuple):
-    """Per-minibatch sampled/conditioned latent quantities."""
+    """Per-minibatch sampled/conditioned latent quantities.
+
+    The prior Cholesky factors are carried instead of the raw K22 grams:
+    they are factored once here (one batched Cholesky for the three
+    stationary kernels + one for the Gibbs kernel) and reused by both the
+    conditional projections and the KL terms — the reference re-factors
+    the same matrices in `KL_Gaussian` (utils.py:344-348).
+    """
 
     L_full: jax.Array  # (B, D, D) full sampled coefficient matrices
     mu_g: jax.Array  # (D, B)
     sigma2_g: jax.Array  # (D, B)
     tilde_ell: jax.Array  # (B,)
     sampled_v: jax.Array  # (M,)
-    K_tildeell_22: jax.Array  # (M, M)
-    K_L0_22: jax.Array  # (M, M)
-    K_L1_22: jax.Array  # (M, M)
-    K_G_22: jax.Array  # (M, M)
+    Lp_stat: jax.Array  # (3, M, M) chol of (K22 + jI) for [tildeell, L0, L1]
+    Lp_G: jax.Array  # (M, M) chol of (K_G_22 + jI)
 
 
 def _sample_latents(
@@ -185,10 +190,25 @@ def _sample_latents(
         inv = 0.5 / (ls * ls)
         return s2 * jnp.exp(-d2_xz * inv), s2 * jnp.exp(-d2_zz * inv)
 
-    # --- (v, tilde_ell) joint draw --------------------------------------
+    # --- the three stationary kernels: ONE batched factorization ---------
+    # (M x M Cholesky latency dominates the step; batching 3 costs the same
+    # as 1 on the MXU pipeline, and the factors are reused by the KL terms)
     K_te_12, K_te_22 = _rbf_pair(s2_te, ls_te)
+    K_L0_12, K_L0_22 = _rbf_pair(s2_L0, ls_L0)
+    K_L1_12, K_L1_22 = _rbf_pair(s2_L1, ls_L1)
+    M = Z.shape[0]
+    eyeM = jnp.eye(M, dtype=dtype)
+    Lp_stat = jnp.linalg.cholesky(
+        jnp.stack([K_te_22, K_L0_22, K_L1_22]) + jitter * eyeM
+    )
+    K12s = jnp.stack([K_te_12, K_L0_12, K_L1_12])  # (3, B, M)
+    Ps = jax.scipy.linalg.cho_solve(
+        (Lp_stat, True), K12s.transpose(0, 2, 1)
+    ).transpose(0, 2, 1)
+    P_te, P0, P1 = Ps[0], Ps[1], Ps[2]
+
+    # --- (v, tilde_ell) joint draw --------------------------------------
     sampled_v = sample_full_cov(k_v, params.mu_v, tril_mask(params.sqrt_v), jitter)
-    P_te = conditional_projection(K_te_12, K_te_22, jitter)
     mu_te = mgp_mean(P_te, sampled_v)
     # clamp the Nystrom residual: float32 cancellation can exceed the
     # reparameterize jitter at large M (see ops/linalg.mgp_mean_var)
@@ -198,10 +218,6 @@ def _sample_latents(
     ell_X = jnp.exp(tilde_ell)
 
     # --- coefficient matrix L(x) ----------------------------------------
-    K_L0_12, K_L0_22 = _rbf_pair(s2_L0, ls_L0)
-    K_L1_12, K_L1_22 = _rbf_pair(s2_L1, ls_L1)
-    P0 = conditional_projection(K_L0_12, K_L0_22, jitter)
-    P1 = conditional_projection(K_L1_12, K_L1_22, jitter)
 
     Sigma_U_tril = tril_mask(params.sqrt_U)
     Sigma_U = jnp.einsum("ijab,ijcb->ijac", Sigma_U_tril, Sigma_U_tril)
@@ -228,7 +244,8 @@ def _sample_latents(
     # --- shared latents g (analytic marginal stats) ---------------------
     K_G_12 = gibbs(x, Z, ell_X, ell_Z, sigma2_g)
     K_G_22 = gibbs(Z, Z, ell_Z, ell_Z, sigma2_g)
-    P_G = conditional_projection(K_G_12, K_G_22, jitter)
+    Lp_G = jnp.linalg.cholesky(K_G_22 + jitter * eyeM)
+    P_G = jax.scipy.linalg.cho_solve((Lp_G, True), K_G_12.T).T
     Sigma_W_tril = tril_mask(params.sqrt_W)
     Sigma_W = jnp.einsum("dab,dcb->dac", Sigma_W_tril, Sigma_W_tril)
     d11_g = jnp.full((B,), sigma2_g, dtype)
@@ -240,17 +257,16 @@ def _sample_latents(
         sigma2_g=s2_g,
         tilde_ell=tilde_ell,
         sampled_v=sampled_v,
-        K_tildeell_22=K_te_22,
-        K_L0_22=K_L0_22,
-        K_L1_22=K_L1_22,
-        K_G_22=K_G_22,
+        Lp_stat=Lp_stat,
+        Lp_G=Lp_G,
     )
 
 
 def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER):
     """The three KL groups (nmgp_dsvi.py:266-295).
 
-    The four M x M prior covariances factor in ONE batched Cholesky; the
+    The prior Cholesky factors come precomputed from `_sample_latents`
+    (the reference re-factors the same matrices, utils.py:344-348); the
     q-side uses the fast diag-based logdet (exact_logdet=False) — at D=78
     the batched re-Cholesky of the D^2 variational covariances would
     otherwise dominate the training step (see ops/linalg.kl_gaussian_chol).
@@ -261,20 +277,19 @@ def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER):
     M = params.num_inducing
     zeros = jnp.zeros((M,), params.mu_v.dtype)
 
-    priors = jnp.stack([lat.K_G_22, lat.K_tildeell_22, lat.K_L1_22, lat.K_L0_22])
-    Lp = jnp.linalg.cholesky(priors + jitter * jnp.eye(M, dtype=priors.dtype))
-
     kl = partial(kl_gaussian_chol, jitter=jitter, exact_logdet=False)
-    kl_W = jnp.sum(kl(params.mu_W, tril_mask(params.sqrt_W), zeros, Lp[0]))
-    kl_v = kl(params.mu_v, tril_mask(params.sqrt_v), zeros, Lp[1])
+    kl_W = jnp.sum(kl(params.mu_W, tril_mask(params.sqrt_W), zeros, lat.Lp_G))
+    kl_v = kl(params.mu_v, tril_mask(params.sqrt_v), zeros, lat.Lp_stat[0])
 
     dd = jnp.arange(D)
     sqrt_U_tril = tril_mask(params.sqrt_U)
-    kl_U = jnp.sum(kl(params.mu_U[dd, dd], sqrt_U_tril[dd, dd], zeros, Lp[2]))
+    kl_U = jnp.sum(
+        kl(params.mu_U[dd, dd], sqrt_U_tril[dd, dd], zeros, lat.Lp_stat[2])
+    )
     if D > 1:
         ii, jj = _offdiag_indices(D)
         kl_U = kl_U + jnp.sum(
-            kl(params.mu_U[ii, jj], sqrt_U_tril[ii, jj], zeros, Lp[3])
+            kl(params.mu_U[ii, jj], sqrt_U_tril[ii, jj], zeros, lat.Lp_stat[1])
         )
     return kl_W, kl_v, kl_U
 
