@@ -287,3 +287,49 @@ def test_lmc_predsample_recovers_signal():
          [np.sin(2 * np.pi * 0.5), 0.8 * np.sin(2 * np.pi * 0.5)]]
     )
     np.testing.assert_allclose(mean, true, atol=0.15)
+
+
+def test_snmgp_and_svc_hadamard_predmap_sane():
+    """Heterotopic plug-in predmaps: finite, ordered bands, and the plug-in
+    mean tracks the hadamard predsample MC mean at moderate tolerance."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models.prediction import (
+        snmgp_hadamard_predmap,
+        snmgp_hadamard_predsample,
+        svc_hadamard_predmap,
+        svc_hadamard_predsample,
+    )
+
+    Nn = 24
+    x = np.sort(RNG.random(Nn))
+    indx = RNG.integers(0, M, Nn)
+    f = np.sin(2 * np.pi * x)
+    y = np.where(indx == 0, f, 0.6 * f) + 0.05 * RNG.standard_normal(Nn)
+
+    # SNMGP hadamard: raw L_vec (logpos.py:517), latent fields at the data
+    tl = np.full(Nn, np.log(0.25))
+    ts = np.zeros(Nn)
+    L_vec = np.array([1.0, 0.6, 0.3])
+    draw = (tl, ts, L_vec, np.log(0.05**2))
+    x_stars = np.array([0.45, 0.55])
+    hyp = dict(beta_tilde_l=0.1, beta_tilde_sigma=0.1)
+    plug = snmgp_hadamard_predmap(draw, x, indx, y, M, x_stars, **hyp)
+    assert plug.shape == (3, 2, M) and np.all(np.isfinite(plug))
+    assert np.all(plug[0] < plug[1]) and np.all(plug[1] < plug[2])
+    S_draws = 400
+    hists = tuple(np.tile(np.asarray(v), (S_draws,) + (1,) * np.ndim(v)) for v in draw)
+    samp = snmgp_hadamard_predsample(hists, x, indx, y, M, x_stars, seed=3, **hyp)
+    np.testing.assert_allclose(plug[1], samp.mean(axis=1), atol=0.12)
+
+    # SVC hadamard: per-point raw Cholesky vecs
+    T_ = T
+    L_vecs = np.tile(L_vec, Nn) + 0.01 * RNG.standard_normal(Nn * T_)
+    draw_svc = (tl, L_vecs, np.log(0.05**2))
+    hyp_svc = dict(beta_tilde_l=0.1, beta_L=0.1)
+    plug2 = svc_hadamard_predmap(draw_svc, x, indx, y, M, x_stars, **hyp_svc)
+    assert plug2.shape == (3, 2, M) and np.all(np.isfinite(plug2))
+    assert np.all(plug2[0] < plug2[1]) and np.all(plug2[1] < plug2[2])
+    hists2 = tuple(
+        np.tile(np.asarray(v), (S_draws,) + (1,) * np.ndim(v)) for v in draw_svc
+    )
+    samp2 = svc_hadamard_predsample(hists2, x, indx, y, M, x_stars, seed=4, **hyp_svc)
+    np.testing.assert_allclose(plug2[1], samp2.mean(axis=1), atol=0.12)
