@@ -200,11 +200,13 @@ def predict_icm(model: ICMModel, X_star_list: Sequence):
 # ---------------------------------------------------------------------------
 
 
-def _titsias_parts(Kuu, Kuf, kff_diag, y, noise, jitter=1e-6):
+def _titsias_parts(Kuu, Kuf, kff_diag, y, noise, jitter=1e-4):
     """Shared Titsias-bound factorization.
 
-    Returns (bound_terms..., Luu, LB, Ay) so both the collapsed negative
-    bound and the predictive reuse one factorization.
+    Returns (nbound, Luu, LB, c) with c = LB^{-1} A y / sigma, so both the
+    collapsed negative bound and the predictive reuse one factorization.
+    The 1e-4 jitter keeps the f32 Cholesky of Kuu finite when trainable
+    inducing inputs drift together (1e-6 is below f32 rounding at M=100).
     """
     M = Kuu.shape[0]
     n = y.shape[0]
@@ -234,17 +236,31 @@ def _titsias_predict(Luu, LB, c, Kus, kss_diag, noise):
 
 
 def _inducing_init(x, m):
-    """Quantile-spread inducing inputs over the data range."""
-    qs = np.quantile(np.asarray(x), np.linspace(0.0, 1.0, m))
+    """Quantile-spread inducing inputs over the data range.
+
+    A tiny arithmetic spread breaks exact ties (duplicate observed inputs
+    would otherwise produce duplicate inducing points and a singular Kuu).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    qs = np.quantile(x, np.linspace(0.0, 1.0, m))
+    span = max(float(x.max() - x.min()), 1.0)
+    qs = qs + 1e-5 * span * np.arange(m)
     return jnp.asarray(qs)
+
+
+class SGPRModel(NamedTuple):
+    theta: jax.Array  # [log s2, log ls, log noise]
+    Z: jax.Array  # (m,) inducing inputs
+    x: jax.Array
+    y: jax.Array
+    kernel: str
 
 
 def fit_sgpr(X_list, Y_list, num_inducing=100, kernel="exponential", steps=500, lr=0.05):
     """Independent sparse GP per output (reference `SparseGPRegression`
     baseline): Titsias collapsed bound, trainable inducing inputs.
 
-    Returns a list of (theta, Z, x, y) tuples; theta = [log s2, log ls,
-    log noise]."""
+    Returns a list of `SGPRModel`s."""
     kernel_fn = _KERNELS[kernel]
     models = []
     for x, y in zip(X_list, Y_list):
@@ -263,15 +279,21 @@ def fit_sgpr(X_list, Y_list, num_inducing=100, kernel="exponential", steps=500, 
             return nbound
 
         pars, _ = _fit_adam(loss, pars0, steps, lr)
-        models.append((pars[:3], pars[3:], x, y))
+        models.append(SGPRModel(pars[:3], pars[3:], x, y, kernel))
     return models
 
 
-def predict_sgpr(models, X_star_list, kernel="exponential"):
-    """Predictive mean/std per output for `fit_sgpr` models."""
-    kernel_fn = _KERNELS[kernel]
+def predict_sgpr(models, X_star_list, kernel=None):
+    """Predictive mean/std per output for `fit_sgpr` models.
+
+    The kernel is taken from each fitted model; the `kernel` argument only
+    overrides for legacy (theta, Z, x, y) tuples without one.
+    """
     means, stds = [], []
-    for (theta, Z, x, y), xs in zip(models, X_star_list):
+    for model, xs in zip(models, X_star_list):
+        theta, Z, x, y = model[:4]
+        kname = model.kernel if isinstance(model, SGPRModel) else (kernel or "exponential")
+        kernel_fn = _KERNELS[kname]
         xs = jnp.asarray(np.asarray(xs).reshape(-1))
         s2, ls, noise = jnp.exp(theta)
         noise = noise + 1e-6
@@ -297,6 +319,16 @@ class SICMModel(NamedTuple):
     D: int
     rank: int
     kernel: str
+
+
+def _icm_diag(theta, idx, D, rank):
+    """Diagonal of the ICM kernel at (x, idx) in O(N): Kx(x,x)=s2 and the
+    coregionalization factor gathers as B[idx, idx]."""
+    s2 = jnp.exp(theta[0])
+    W = theta[3 : 3 + D * rank].reshape(D, rank)
+    kappa = jnp.exp(theta[3 + D * rank : 3 + D * rank + D])
+    b_diag = jnp.sum(W * W, axis=1) + kappa  # diag(W W^T + diag(kappa))
+    return s2 * b_diag[idx]
 
 
 def fit_sicm(
@@ -333,7 +365,7 @@ def fit_sicm(
         noise = jnp.exp(theta[2]) + 1e-6
         Kuu = _icm_cov(theta, Z, zidx, Z, zidx, D, rank, kernel_fn)
         Kuf = _icm_cov(theta, Z, zidx, x, idx, D, rank, kernel_fn)
-        kff = jnp.diagonal(_icm_cov(theta, x, idx, x, idx, D, rank, kernel_fn))
+        kff = _icm_diag(theta, idx, D, rank)  # O(N), never forms the N x N gram
         nbound, *_ = _titsias_parts(Kuu, Kuf, kff, y, noise)
         return nbound
 
@@ -351,9 +383,7 @@ def predict_sicm(model: SICMModel, X_star_list: Sequence):
     Kuf = _icm_cov(
         model.theta, model.Z, model.zidx, model.x, model.idx, model.D, model.rank, kernel_fn
     )
-    kff = jnp.diagonal(
-        _icm_cov(model.theta, model.x, model.idx, model.x, model.idx, model.D, model.rank, kernel_fn)
-    )
+    kff = _icm_diag(model.theta, model.idx, model.D, model.rank)
     _, Luu, LB, c = _titsias_parts(Kuu, Kuf, kff, model.y, noise)
     means, stds = [], []
     for d, xs in enumerate(X_star_list):
@@ -362,9 +392,7 @@ def predict_sicm(model: SICMModel, X_star_list: Sequence):
         Kus = _icm_cov(
             model.theta, model.Z, model.zidx, xs, idxs, model.D, model.rank, kernel_fn
         )
-        kss = jnp.diagonal(
-            _icm_cov(model.theta, xs, idxs, xs, idxs, model.D, model.rank, kernel_fn)
-        )
+        kss = _icm_diag(model.theta, idxs, model.D, model.rank)
         mu, var = _titsias_predict(Luu, LB, c, Kus, kss, noise)
         means.append(np.asarray(mu))
         stds.append(np.asarray(jnp.sqrt(var)))

@@ -27,6 +27,7 @@ __all__ = [
     "lvecs_to_corr",
     "plot_mean_and_ci",
     "plot_posterior_bands",
+    "plot_correlation_heatmaps",
 ]
 
 
@@ -173,8 +174,8 @@ def plot_correlation_heatmaps(
     per-point Cholesky vectors `L_vecs` (N*T,) plus (N, M) to build them
     (cov2cor of L Lᵀ).  Points are sorted by x like the reference.  Diverging
     colormap centered at 0, fixed to [-1, 1].  If `save_dir` is given, one
-    PNG per point named by its x value is written there; returns (x_sorted,
-    R_fs_sorted).
+    PNG per point (index-prefixed, labeled by its x value) is written
+    there; returns (x_sorted, R_fs_sorted).
     """
     import os
 
@@ -187,6 +188,11 @@ def plot_correlation_heatmaps(
     order = np.argsort(x)
     x = x[order]
     if R_fs is None:
+        if L_vecs is None or N is None or M is None:
+            raise ValueError(
+                "plot_correlation_heatmaps needs either R_fs (N, M, M) or "
+                "L_vecs together with N and M"
+            )
         R_fs = lvecs_to_corr(np.asarray(L_vecs).reshape(-1), N, M, constrained)
     R_fs = np.asarray(R_fs)[order]
     Mdim = R_fs.shape[-1]
@@ -203,8 +209,10 @@ def plot_correlation_heatmaps(
             ax.set_yticklabels(labels)
             ax.set_title(f"x = {x[n]:.4g}")
             fig.colorbar(im, ax=ax, fraction=0.046)
+            # index prefix: duplicate x values must not overwrite each other
             fig.savefig(
-                os.path.join(save_dir, f"{x[n]}.png"), bbox_inches="tight"
+                os.path.join(save_dir, f"{n:04d}_{x[n]:.6g}.png"),
+                bbox_inches="tight",
             )
             plt.close(fig)
     return x, R_fs

@@ -43,6 +43,12 @@ def main():
                    help="use the centered parameterization (default: whitened)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
+    p.add_argument(
+        "--steady",
+        action="store_true",
+        help="run the jitted sampler twice and report steady-state "
+        "samples/s from the second (compile-free) run",
+    )
     args = p.parse_args()
 
     import jax
@@ -145,13 +151,19 @@ def main():
         else dict(num_warmup=args.warmup, num_samples=args.samples, num_steps=32)
     )
 
+    sampler = jax.jit(jax.vmap(lambda q, k: runner(lp, q, k, **kwargs)))
     t0 = time.time()
-    samples, info = jax.jit(
-        jax.vmap(lambda q, k: runner(lp, q, k, **kwargs))
-    )(inits, keys)
+    samples, info = sampler(inits, keys)
     samples = np.asarray(samples)  # (chains, S, dim)
     wall = time.time() - t0
     total_draws = args.chains * args.samples
+    steady_rate = None
+    if args.steady:
+        keys2 = jax.random.split(jax.random.PRNGKey(args.seed + 2), args.chains)
+        t0 = time.time()
+        s2, _ = sampler(inits, keys2)
+        float(np.asarray(s2)[0, 0, 0])
+        steady_rate = total_draws / (time.time() - t0)
 
     # --- recovery metrics -------------------------------------------------
     if not args.centered:
@@ -191,6 +203,8 @@ def main():
         rhat_median=float(np.median(rhat)),
         mean_accept=float(np.mean(np.asarray(info["accept_prob"]))),
     )
+    if steady_rate is not None:
+        out["steady_samples_per_s"] = steady_rate
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:
