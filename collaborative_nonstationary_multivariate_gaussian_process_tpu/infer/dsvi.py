@@ -103,14 +103,40 @@ def make_train_step(optimizer, n_total: int, jitter: float):
     return step
 
 
-def make_scan_epochs(optimizer, n_total: int, jitter: float, num_batches: int, batch_size: int):
+def make_scan_epochs(
+    optimizer,
+    n_total: int,
+    jitter: float,
+    num_batches: int,
+    batch_size: int,
+    mesh=None,
+):
     """Fused multi-epoch trainer: runs `n_epochs` epochs inside one jitted
     `lax.scan`, re-shuffling minibatches on-device each epoch.
 
     This is the TPU fast path — one dispatch per probe interval instead of
     one per step (the reference pays Python/DataLoader overhead every step,
     nmgp_dsvi.py:827-874).
+
+    `mesh`: optional `jax.sharding.Mesh` with a "data" axis — each minibatch
+    is sharding-constrained onto it, so GSPMD splits the per-row ELBO work
+    across devices and inserts the gradient psum (data-parallel DSVI,
+    SURVEY.md §5.8).  Numerics-preserving: tested identical to the
+    single-device path (tests/test_parallel.py).
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ..parallel.mesh import DATA_AXIS
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+        def shard_rows(a):
+            return jax.lax.with_sharding_constraint(a, batch_sharding)
+    else:
+
+        def shard_rows(a):
+            return a
 
     def epoch_body(carry, key):
         params, opt_state, grad_mask, Z, x, y, idx = carry
@@ -134,7 +160,15 @@ def make_scan_epochs(optimizer, n_total: int, jitter: float, num_batches: int, b
 
             def loss_fn(p):
                 return cnmgp.negative_selbo(
-                    p, Z, x[sel], y[sel], idx[sel], w, n_total, k, jitter
+                    p,
+                    Z,
+                    shard_rows(x[sel]),
+                    shard_rows(y[sel]),
+                    shard_rows(idx[sel]),
+                    shard_rows(w),
+                    n_total,
+                    k,
+                    jitter,
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -209,9 +243,14 @@ def inference(
     jitter: float = 1e-4,
     elbo_every: int = 100,
     elbo_samples: int = 100,
+    mesh=None,
 ) -> DSVIResult:
     """Train a CNMGP by DSVI.  Signature mirrors the reference `inference()`
-    (nmgp_dsvi.py:758-761) so reference drivers port one-to-one."""
+    (nmgp_dsvi.py:758-761) so reference drivers port one-to-one.
+
+    `mesh`: optional `jax.sharding.Mesh` with a "data" axis for
+    data-parallel minibatches (see `make_scan_epochs`); applies to the fast
+    path (no per-step test trace / verbose / stop criterion)."""
     from ..utils.data import flatten_output_lists
     from ..utils import checkpoint as ckpt
 
@@ -280,7 +319,9 @@ def inference(
 
     fast_path = X_test_list is None and not do_stop_criterion and not verbose
     if fast_path:
-        run_epochs = make_scan_epochs(optimizer, float(n_total), jitter, num_batches, batch_size)
+        run_epochs = make_scan_epochs(
+            optimizer, float(n_total), jitter, num_batches, batch_size, mesh=mesh
+        )
         epoch = 0
         while epoch < itnum:
             chunk = min(elbo_every if show_ELBO else itnum, itnum - epoch)

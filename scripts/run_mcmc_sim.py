@@ -78,6 +78,7 @@ def main():
         lvec_to_uvec,
     )
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.sharded_mcmc import (
+        effective_sample_size,
         potential_scale_reduction,
     )
 
@@ -187,6 +188,7 @@ def main():
     cover_tl = float(np.mean((true_tilde_l > tl_q[0]) & (true_tilde_l < tl_q[2])))
     cover_corr = float(np.mean((true_corr > corr_q[0]) & (true_corr < corr_q[2])))
     rhat = np.asarray(potential_scale_reduction(jnp.asarray(samples)))
+    ess = np.asarray(effective_sample_size(jnp.asarray(samples)))
 
     out = dict(
         sampler=args.sampler,
@@ -202,9 +204,14 @@ def main():
         rhat_max=float(rhat.max()),
         rhat_median=float(np.median(rhat)),
         mean_accept=float(np.mean(np.asarray(info["accept_prob"]))),
+        ess_median=float(np.median(ess)),
+        ess_min=float(ess.min()),
+        ess_per_s=float(np.median(ess) / wall),
     )
     if steady_rate is not None:
         out["steady_samples_per_s"] = steady_rate
+        # same chains re-run compile-free: median ESS over steady wall time
+        out["steady_ess_per_s"] = float(np.median(ess) / (total_draws / steady_rate))
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:

@@ -125,3 +125,33 @@ def test_smc_runs_with_sharded_particles():
     )(init, jax.random.PRNGKey(1))
     assert np.isfinite(float(info["log_z"]))
     assert np.asarray(final).shape == (P_, d)
+
+
+def test_inference_mesh_matches_single_device():
+    """User-facing data-parallel inference(): the mesh-constrained fast path
+    produces identical losses/params to the default path (same seed)."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.dsvi import (
+        inference,
+    )
+
+    rng = np.random.default_rng(3)
+    X_list = [np.sort(rng.random(40)), np.sort(rng.random(40))]
+    Y_list = [np.sin(6 * X_list[0]), 0.5 * np.sin(6 * X_list[1])]
+    z = np.linspace(0, 1, 8)
+    kw = dict(
+        batch_size=16,
+        dim_outputs=2,
+        itnum=6,
+        lr=0.01,
+        seed=11,
+        show_ELBO=False,
+        dtype=jnp.float64,
+    )
+    r1 = inference(X_list, Y_list, z, **kw)
+    mesh = make_mesh(data=8, chain=1)
+    r2 = inference(X_list, Y_list, z, mesh=mesh, **kw)
+    np.testing.assert_allclose(r1.loss_list, r2.loss_list, rtol=1e-9)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(r1.params), jax.tree_util.tree_leaves(r2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
