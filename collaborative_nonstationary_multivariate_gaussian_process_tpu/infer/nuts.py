@@ -67,6 +67,32 @@ def _is_turning(v_sharp_left, v_sharp_right, rho):
     )
 
 
+def _vel(inv_mass, p):
+    """Velocity M^{-1} p.  inv_mass: (dim,) diagonal or (dim, dim) dense
+    (the "diag_e" / "dense_e" metrics; ndim is static at trace time)."""
+    if inv_mass.ndim == 1:
+        return inv_mass * p
+    return inv_mass @ p
+
+
+def _kinetic(inv_mass, p):
+    return 0.5 * jnp.dot(p, _vel(inv_mass, p))
+
+
+def _sample_momentum(key, inv_mass, dim, dtype):
+    """p ~ N(0, M) with M = inv_mass^{-1}.
+
+    Dense: with L = chol(inv_mass), p = L^{-T} z has cov L^{-T} L^{-1} = M.
+    The (dim, dim) Cholesky runs once per transition — negligible next to
+    the tree's leapfrog gradients.
+    """
+    z = jax.random.normal(key, (dim,), dtype)
+    if inv_mass.ndim == 1:
+        return z / jnp.sqrt(inv_mass)
+    L = jnp.linalg.cholesky(inv_mass)
+    return jax.scipy.linalg.solve_triangular(L, z, lower=True, trans=1)
+
+
 class _TreeState(NamedTuple):
     # trajectory edges (positions, momenta, grads)
     q_left: jax.Array
@@ -102,13 +128,12 @@ def nuts_kernel(
     dim = state.position.shape[0]
     k_mom, k_dir, k_prop = jax.random.split(key, 3)
 
-    sd = jnp.sqrt(1.0 / inv_mass)
-    p0 = sd * jax.random.normal(k_mom, (dim,), dtype)
-    energy0 = state.log_prob - 0.5 * jnp.sum(inv_mass * p0**2)
+    p0 = _sample_momentum(k_mom, inv_mass, dim, dtype)
+    energy0 = state.log_prob - _kinetic(inv_mass, p0)
 
     def leapfrog(q, p, g, eps):
         p_half = p + 0.5 * eps * g
-        q_new = q + eps * inv_mass * p_half
+        q_new = q + eps * _vel(inv_mass, p_half)
         lp, g_new = jax.value_and_grad(log_prob_fn)(q_new)
         p_new = p_half + 0.5 * eps * g_new
         return q_new, p_new, g_new, lp
@@ -158,7 +183,7 @@ def nuts_kernel(
         def body(c):
             n = c["n"]
             q, p, g, lp = leapfrog(c["q"], c["p"], c["g"], eps)
-            energy = lp - 0.5 * jnp.sum(inv_mass * p**2)
+            energy = lp - _kinetic(inv_mass, p)
             delta = energy - energy0
             delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
             diverging = delta < -MAX_DELTA_ENERGY
@@ -191,7 +216,7 @@ def nuts_kernel(
                 slot_a = _popcount(a)
                 rho_span = psum - ck_psum[slot_a]
                 turn_k = _is_turning(
-                    inv_mass * ck_p[slot_a], inv_mass * p, rho_span
+                    _vel(inv_mass, ck_p[slot_a]), _vel(inv_mass, p), rho_span
                 )
                 turning = jnp.logical_or(turning, jnp.logical_and(complete, turn_k))
 
@@ -277,7 +302,7 @@ def nuts_kernel(
         g_right = jnp.where(go_right, g_edge, tree.g_right)
 
         rho = tree.rho + sub["psum"]
-        turning_total = _is_turning(inv_mass * p_left, inv_mass * p_right, rho)
+        turning_total = _is_turning(_vel(inv_mass, p_left), _vel(inv_mass, p_right), rho)
         turning = jnp.logical_or(
             sub["turning"], jnp.logical_and(sub_ok, turning_total)
         )
@@ -326,8 +351,15 @@ def run_nuts(
     target_accept: float = 0.8,
     init_step_size: float = 0.1,
     mass_adapt: bool = True,
+    dense_mass: bool = False,
 ):
-    """Single-chain NUTS with dual-averaging + diagonal-mass warmup.
+    """Single-chain NUTS with dual-averaging + mass-matrix warmup.
+
+    `dense_mass=False` adapts a diagonal metric from warmup variances
+    ("diag_e"); `dense_mass=True` adapts the full warmup covariance with
+    Stan-style shrinkage toward a scaled identity ("dense_e") — worth it
+    when the (whitened) posterior keeps strong correlations that inflate
+    NUTS tree depths.
 
     Wrap in `jax.vmap` over (init_position, key) for multi-chain on one
     device, and `shard_map` over a mesh "chain" axis for multi-device
@@ -353,16 +385,27 @@ def run_nuts(
         cnt = cnt + jnp.where(in_w, 1.0, 0.0)
         delta = st.position - mean
         mean = mean + jnp.where(in_w, delta / jnp.maximum(cnt, 1.0), 0.0)
-        m2 = m2 + jnp.where(in_w, delta * (st.position - mean), 0.0)
+        if dense_mass:
+            # Welford covariance: M2 += outer(delta, x - mean_new)
+            m2 = m2 + jnp.where(
+                in_w, jnp.outer(delta, st.position - mean), 0.0
+            )
+        else:
+            m2 = m2 + jnp.where(in_w, delta * (st.position - mean), 0.0)
         return (st, da, mean, m2, cnt), info.accept_prob
 
     # zeros tied to the state keep the varying-axis type consistent when this
     # function runs inside shard_map (see shard_map scan-vma docs)
+    m2_0 = (
+        0.0 * state.position[:, None] * state.position[None, :]
+        if dense_mass
+        else 0.0 * state.position
+    )
     carry0 = (
         state,
         da_init(eps0),
         0.0 * state.position,
-        0.0 * state.position,
+        m2_0,
         0.0 * state.log_prob,
     )
     keys = jax.random.split(k_warm, num_warmup)
@@ -371,10 +414,17 @@ def run_nuts(
     )
 
     if mass_adapt and num_warmup > 10:
-        var = m2 / jnp.maximum(cnt - 1.0, 1.0)
-        inv_mass = jnp.where(var > 1e-10, var, 1.0)
+        denom = jnp.maximum(cnt - 1.0, 1.0)
+        if dense_mass:
+            # Stan regularization: shrink toward a small identity
+            cov = m2 / denom
+            w = cnt / (cnt + 5.0)
+            inv_mass = w * cov + (1e-3 * (1.0 - w)) * jnp.eye(dim, dtype=dtype)
+        else:
+            var = m2 / denom
+            inv_mass = jnp.where(var > 1e-10, var, 1.0)
     else:
-        inv_mass = inv_mass0
+        inv_mass = inv_mass0 if not dense_mass else jnp.eye(dim, dtype=dtype)
     eps_final = jnp.exp(da.log_eps_bar)
 
     # short re-adaptation of step size under the new mass matrix

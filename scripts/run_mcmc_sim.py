@@ -39,6 +39,8 @@ def main():
     p.add_argument("--samples", type=int, default=400)
     p.add_argument("--max-depth", type=int, default=8)
     p.add_argument("--sampler", choices=["nuts", "hmc"], default="nuts")
+    p.add_argument("--dense-mass", action="store_true",
+                   help="adapt a dense mass matrix during NUTS warmup")
     p.add_argument("--centered", action="store_true",
                    help="use the centered parameterization (default: whitened)")
     p.add_argument("--seed", type=int, default=0)
@@ -147,7 +149,8 @@ def main():
 
     runner = run_nuts if args.sampler == "nuts" else run_hmc
     kwargs = (
-        dict(num_warmup=args.warmup, num_samples=args.samples, max_depth=args.max_depth)
+        dict(num_warmup=args.warmup, num_samples=args.samples,
+             max_depth=args.max_depth, dense_mass=args.dense_mass)
         if args.sampler == "nuts"
         else dict(num_warmup=args.warmup, num_samples=args.samples, num_steps=32)
     )
