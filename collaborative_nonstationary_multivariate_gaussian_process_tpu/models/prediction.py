@@ -54,6 +54,10 @@ __all__ = [
     "lmc_hadamard_predmap",
     "svc_hadamard_predsample",
     "svc_hadamard_predmap",
+    "snmgp_hadamard_indexedpoint_predsample",
+    "snmgp_hadamard_indexedpoint_predmap",
+    "svc_hadamard_indexedpoint_predmap",
+    "lmc_hadamard_indexedpoint_predmap",
 ]
 
 
@@ -1090,3 +1094,68 @@ def svc_hadamard_predmap(
         return jax.vmap(point, out_axes=1)(x_stars)
 
     return np.asarray(run())
+
+
+# ---------------------------------------------------------------------------
+# Indexed-point variants: predict a SINGLE task per test location.
+#
+# The reference exposes these as separate functions
+# (`indexedpoint_predsample_hadamard` prediction.py:585,
+#  `indexedpoint_predmap_hadamard` :810,
+#  `indexedpoint_predmap_SVC_hadamard` :1446,
+#  `indexedpoint_predmap_S_hadamard` :1708).  Since the per-task predictive
+# moments are marginal, task column m of the all-task prediction IS the
+# indexedpoint result for indx_star=m; these wrappers gather that column so
+# the reference API maps one-to-one.
+# ---------------------------------------------------------------------------
+
+
+def _gather_task_sample(out, indx_stars):
+    # out: (n_grid, S, M) -> (n_grid, S)
+    n = out.shape[0]
+    return out[np.arange(n), :, np.asarray(indx_stars).reshape(-1)]
+
+
+def _gather_task_map(out, indx_stars):
+    # out: (3, n_grid, M) -> (3, n_grid)
+    n = out.shape[1]
+    return out[:, np.arange(n), np.asarray(indx_stars).reshape(-1)]
+
+
+def snmgp_hadamard_indexedpoint_predsample(
+    hists, x, indx, y, num_tasks, x_stars, indx_stars, **kw
+):
+    """Per-(x*, task*) SNMGP hadamard draws (`indexedpoint_predsample_hadamard`,
+    prediction.py:585-677).  Returns (n_grid, S)."""
+    out = snmgp_hadamard_predsample(hists, x, indx, y, num_tasks, x_stars, **kw)
+    return _gather_task_sample(out, indx_stars)
+
+
+def snmgp_hadamard_indexedpoint_predmap(
+    map_draw, x, indx, y, num_tasks, x_stars, indx_stars, **kw
+):
+    """Per-(x*, task*) SNMGP hadamard plug-in MAP percentiles
+    (`indexedpoint_predmap_hadamard`, prediction.py:810-886).
+    Returns (3, n_grid)."""
+    out = snmgp_hadamard_predmap(map_draw, x, indx, y, num_tasks, x_stars, **kw)
+    return _gather_task_map(out, indx_stars)
+
+
+def svc_hadamard_indexedpoint_predmap(
+    map_draw, x, indx, y, num_tasks, x_stars, indx_stars, **kw
+):
+    """Per-(x*, task*) SVC hadamard plug-in MAP percentiles
+    (`indexedpoint_predmap_SVC_hadamard`, prediction.py:1446-1514).
+    Returns (3, n_grid)."""
+    out = svc_hadamard_predmap(map_draw, x, indx, y, num_tasks, x_stars, **kw)
+    return _gather_task_map(out, indx_stars)
+
+
+def lmc_hadamard_indexedpoint_predmap(
+    map_draw, x, indx, y, num_tasks, x_stars, indx_stars
+):
+    """Per-(x*, task*) stationary-LMC hadamard plug-in MAP percentiles
+    (`indexedpoint_predmap_S_hadamard`, prediction.py:1708-1745).
+    Returns (3, n_grid)."""
+    out = lmc_hadamard_predmap(map_draw, x, indx, y, num_tasks, x_stars)
+    return _gather_task_map(out, indx_stars)

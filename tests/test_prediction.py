@@ -333,3 +333,66 @@ def test_snmgp_and_svc_hadamard_predmap_sane():
     )
     samp2 = svc_hadamard_predsample(hists2, x, indx, y, M, x_stars, seed=4, **hyp_svc)
     np.testing.assert_allclose(plug2[1], samp2.mean(axis=1), atol=0.12)
+
+
+def test_indexedpoint_wrappers_gather_task_columns():
+    """The indexedpoint_* wrappers must equal column indx_star of the
+    all-task prediction (reference indexedpoint_predmap_hadamard etc.)."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models.prediction import (
+        lmc_hadamard_indexedpoint_predmap,
+        snmgp_hadamard_indexedpoint_predmap,
+        snmgp_hadamard_indexedpoint_predsample,
+        snmgp_hadamard_predmap,
+        snmgp_hadamard_predsample,
+        svc_hadamard_indexedpoint_predmap,
+        svc_hadamard_predmap,
+    )
+
+    Nn = 20
+    x = np.sort(RNG.random(Nn))
+    indx = RNG.integers(0, M, Nn)
+    f = np.sin(2 * np.pi * x)
+    y = np.where(indx == 0, f, 0.6 * f) + 0.05 * RNG.standard_normal(Nn)
+    x_stars = np.array([0.3, 0.7])
+    indx_stars = np.array([1, 0])
+
+    tl = np.full(Nn, np.log(0.25))
+    ts = np.zeros(Nn)
+    L_vec = np.array([1.0, 0.6, 0.3])
+    draw = (tl, ts, L_vec, np.log(0.05**2))
+    hyp = dict(beta_tilde_l=0.1, beta_tilde_sigma=0.1)
+
+    full = snmgp_hadamard_predmap(draw, x, indx, y, M, x_stars, **hyp)
+    sel = snmgp_hadamard_indexedpoint_predmap(
+        draw, x, indx, y, M, x_stars, indx_stars, **hyp
+    )
+    assert sel.shape == (3, 2)
+    np.testing.assert_allclose(sel[:, 0], full[:, 0, 1])
+    np.testing.assert_allclose(sel[:, 1], full[:, 1, 0])
+
+    S_draws = 8
+    hists = tuple(np.tile(np.asarray(v), (S_draws,) + (1,) * np.ndim(v)) for v in draw)
+    fs = snmgp_hadamard_predsample(hists, x, indx, y, M, x_stars, seed=5, **hyp)
+    ss = snmgp_hadamard_indexedpoint_predsample(
+        hists, x, indx, y, M, x_stars, indx_stars, seed=5, **hyp
+    )
+    assert ss.shape == (2, S_draws)
+    np.testing.assert_allclose(ss[0], fs[0, :, 1])
+    np.testing.assert_allclose(ss[1], fs[1, :, 0])
+
+    L_vecs = np.tile(L_vec, Nn)
+    draw_svc = (tl, L_vecs, np.log(0.05**2))
+    hyp_svc = dict(beta_tilde_l=0.1, beta_L=0.1)
+    full2 = svc_hadamard_predmap(draw_svc, x, indx, y, M, x_stars, **hyp_svc)
+    sel2 = svc_hadamard_indexedpoint_predmap(
+        draw_svc, x, indx, y, M, x_stars, indx_stars, **hyp_svc
+    )
+    np.testing.assert_allclose(sel2[:, 0], full2[:, 0, 1])
+
+    uL = np.array([0.0, 0.7, np.log(0.3)])
+    draw_lmc = (np.log(0.25), 0.0, uL, np.log(0.05**2))
+    full3 = lmc_hadamard_predmap(draw_lmc, x, indx, y, M, x_stars)
+    sel3 = lmc_hadamard_indexedpoint_predmap(
+        draw_lmc, x, indx, y, M, x_stars, indx_stars
+    )
+    np.testing.assert_allclose(sel3[:, 1], full3[:, 1, 0])
