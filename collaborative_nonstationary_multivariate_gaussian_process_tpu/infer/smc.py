@@ -5,9 +5,10 @@ histories (SIM_code/Utility/model_validation.py:9-51).  SMC replaces that
 with a *log marginal likelihood* estimate (BASELINE.json: "SMC for model
 comparison"), TPU-first:
 
-  - particles carried in a leading (P, dim) axis — `vmap` over particles,
-    shardable over the mesh "chain" axis (normalization / ESS are `psum`
-    reductions in the sharded variant, parallel/sharded_smc.py);
+  - particles carried in a leading (P, dim) axis — `vmap` over particles;
+    the explicit-collective variant (normalization / ESS / log-Z via
+    `psum`/`pmax`, global systematic resampling via `all_gather`) is
+    `parallel.sharded_smc.run_smc_sharded`;
   - adaptive temperature ladder: next beta chosen by bisection so the ESS
     of incremental weights stays at `ess_target` (all inside the jitted
     step, `lax.while_loop` bisection);

@@ -155,3 +155,61 @@ def test_inference_mesh_matches_single_device():
         jax.tree_util.tree_leaves(r1.params), jax.tree_util.tree_leaves(r2.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_smc_matches_analytic_log_z():
+    """Particle-sharded SMC (explicit psum/all_gather collectives) recovers
+    the analytic log marginal likelihood of a conjugate Gaussian model and
+    agrees with the single-device sampler."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.smc import (
+        run_smc,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.sharded_smc import (
+        run_smc_sharded,
+    )
+
+    d, tau2, sig2 = 3, 4.0, 1.0
+    y = jnp.ones((d,))
+
+    def log_prior(q):
+        return -0.5 * jnp.sum(q**2) / tau2 - 0.5 * d * jnp.log(2 * jnp.pi * tau2)
+
+    def log_like(q):
+        return -0.5 * jnp.sum((y - q) ** 2) / sig2 - 0.5 * d * jnp.log(
+            2 * jnp.pi * sig2
+        )
+
+    # analytic: log Z = sum_d log N(y_i; 0, tau2 + sig2)
+    log_z_true = float(
+        jnp.sum(-0.5 * y**2 / (tau2 + sig2) - 0.5 * jnp.log(2 * jnp.pi * (tau2 + sig2)))
+    )
+
+    P_ = 512
+    init = jnp.sqrt(tau2) * jax.random.normal(jax.random.PRNGKey(0), (P_, d))
+
+    mesh = make_mesh(data=1, chain=8)
+    pos_sh, info_sh = run_smc_sharded(
+        log_prior, log_like, init, jax.random.PRNGKey(1), mesh,
+        num_mutations=4, num_leapfrog=8,
+    )
+    assert np.asarray(pos_sh).shape == (P_, d)
+    assert 1 <= int(info_sh["num_stages"]) <= 100
+    assert abs(float(info_sh["log_z"]) - log_z_true) < 0.25, (
+        float(info_sh["log_z"]), log_z_true,
+    )
+
+    # posterior moments: N(tau2/(tau2+sig2) * y, (1/tau2 + 1/sig2)^-1 I)
+    post_mean = tau2 / (tau2 + sig2)
+    post_var = 1.0 / (1.0 / tau2 + 1.0 / sig2)
+    np.testing.assert_allclose(
+        np.asarray(pos_sh).mean(axis=0), post_mean * np.ones(d), atol=0.15
+    )
+    np.testing.assert_allclose(
+        np.asarray(pos_sh).var(axis=0), post_var * np.ones(d), rtol=0.35
+    )
+
+    _, info_1dev = run_smc(
+        log_prior, log_like, init, jax.random.PRNGKey(1),
+        num_mutations=4, num_leapfrog=8,
+    )
+    assert abs(float(info_1dev["log_z"]) - float(info_sh["log_z"])) < 0.3
