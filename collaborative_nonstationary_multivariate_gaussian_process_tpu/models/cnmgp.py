@@ -190,35 +190,40 @@ def _sample_latents(
         inv = 0.5 / (ls * ls)
         return s2 * jnp.exp(-d2_xz * inv), s2 * jnp.exp(-d2_zz * inv)
 
-    # --- the three stationary kernels: ONE batched factorization ---------
-    # (M x M Cholesky latency dominates the step; batching 3 costs the same
-    # as 1 on the MXU pipeline, and the factors are reused by the KL terms)
+    # --- all four M x M priors: ONE batched factorization -----------------
+    # (M x M Cholesky latency dominates the step; batching 4 costs the same
+    # as 1 on the MXU pipeline, and the factors are reused by the KL terms.
+    # The Gibbs gram K_G(Z,Z) only needs sampled_v — independent of the
+    # stationary factors — so it joins the same batch.)
     K_te_12, K_te_22 = _rbf_pair(s2_te, ls_te)
     K_L0_12, K_L0_22 = _rbf_pair(s2_L0, ls_L0)
     K_L1_12, K_L1_22 = _rbf_pair(s2_L1, ls_L1)
+    sampled_v = sample_full_cov(k_v, params.mu_v, tril_mask(params.sqrt_v), jitter)
+    ell_Z = jnp.exp(sampled_v)
+    K_G_22 = gibbs(Z, Z, ell_Z, ell_Z, sigma2_g).astype(dtype)
     M = Z.shape[0]
     eyeM = jnp.eye(M, dtype=dtype)
-    Lp_stat = jnp.linalg.cholesky(
-        jnp.stack([K_te_22, K_L0_22, K_L1_22]) + jitter * eyeM
+    Lp_all = jnp.linalg.cholesky(
+        jnp.stack([K_te_22, K_L0_22, K_L1_22, K_G_22]) + jitter * eyeM
     )
-    # P = K12 K22^{-1} via the explicit inverse: the triangular solves only
-    # see nrhs=M (not nrhs=B), and the B-sized work becomes one batched MXU
-    # matmul.  TPU triangular solves are blocked/sequential and run far below
-    # MXU peak, so at B >> M this is much faster than cho_solve on K12^T;
-    # identical result up to roundoff (jitter 1e-4 dominates).
-    Kinv_stat = jax.scipy.linalg.cho_solve((Lp_stat, True), jnp.broadcast_to(eyeM, Lp_stat.shape))
+    Lp_stat, Lp_G = Lp_all[:3], Lp_all[3]
+    # P = K12 K22^{-1} via triangular solves on K12^T (NOT the explicit
+    # inverse): the RBF gram is ill-conditioned in f32 at small lengthscales
+    # (cond >> 1/eps even with jitter), and the backward-stable
+    # back-substitution keeps P bounded where forming K22^{-1} explicitly
+    # overflows the conditional mean/variance at init.
     K12s = jnp.stack([K_te_12, K_L0_12, K_L1_12])  # (3, B, M)
-    Ps = jnp.einsum("gbm,gmk->gbk", K12s, Kinv_stat)
+    Ps = jax.scipy.linalg.cho_solve(
+        (Lp_stat, True), K12s.transpose(0, 2, 1)
+    ).transpose(0, 2, 1)
     P_te, P0, P1 = Ps[0], Ps[1], Ps[2]
 
-    # --- (v, tilde_ell) joint draw --------------------------------------
-    sampled_v = sample_full_cov(k_v, params.mu_v, tril_mask(params.sqrt_v), jitter)
+    # --- (v, tilde_ell) joint draw (v drawn above, before the batch) -----
     mu_te = mgp_mean(P_te, sampled_v)
     # clamp the Nystrom residual: float32 cancellation can exceed the
     # reparameterize jitter at large M (see ops/linalg.mgp_mean_var)
     var_te = jnp.maximum(s2_te - jnp.sum(P_te * K_te_12, axis=-1), 0.0)
     tilde_ell = sample_diag(k_te, mu_te, var_te, jitter)
-    ell_Z = jnp.exp(sampled_v)
     ell_X = jnp.exp(tilde_ell)
 
     # --- coefficient matrix L(x) ----------------------------------------
@@ -247,9 +252,7 @@ def _sample_latents(
 
     # --- shared latents g (analytic marginal stats) ---------------------
     K_G_12 = gibbs(x, Z, ell_X, ell_Z, sigma2_g)
-    K_G_22 = gibbs(Z, Z, ell_Z, ell_Z, sigma2_g)
-    Lp_G = jnp.linalg.cholesky(K_G_22 + jitter * eyeM)
-    P_G = K_G_12 @ jax.scipy.linalg.cho_solve((Lp_G, True), eyeM)
+    P_G = jax.scipy.linalg.cho_solve((Lp_G, True), K_G_12.T).T
     Sigma_W_tril = tril_mask(params.sqrt_W)
     Sigma_W = jnp.einsum("dab,dcb->dac", Sigma_W_tril, Sigma_W_tril)
     d11_g = jnp.full((B,), sigma2_g, dtype)

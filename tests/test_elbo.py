@@ -38,6 +38,38 @@ def test_negative_selbo_finite(setup):
     assert np.isfinite(float(loss(params, jax.random.PRNGKey(1))))
 
 
+def test_f32_latents_stable_at_illconditioned_init():
+    """Regression: the f32 prior solves must stay backward-stable at the
+    flagship bench config (M=100 inducing points, init lengthscale e^-4).
+
+    The M x M RBF gram there has neighbor correlation ~0.86 and condition
+    number >> 1/eps_f32; forming K22^{-1} explicitly (instead of triangular
+    solves on K12^T) once made the conditional mean of tilde_ell explode to
+    ~-100 and exp-overflow L(x), which NaN'd the first training step of
+    bench.py (caught 2026-08-19)."""
+    Dl, Ml, Bl = 6, 100, 256
+    dtype = jnp.float32
+    params = cnmgp.init_params(jax.random.PRNGKey(0), Dl, Ml, dtype=dtype)
+    Z = jnp.linspace(0.0, 1.0, Ml, dtype=dtype)
+    x = jnp.sort(jax.random.uniform(jax.random.PRNGKey(1), (Bl,), dtype=dtype))
+    lat = jax.jit(cnmgp._sample_latents)(params, Z, x, jax.random.PRNGKey(2))
+    tl = np.asarray(lat.tilde_ell)
+    # init posterior of tilde_ell is centered at mu_v = -4 with a few units
+    # of variational noise; the broken explicit-inverse path hit -102
+    assert np.all(np.abs(tl + 4.0) < 30.0), (tl.min(), tl.max())
+    # L(x) is lognormal at init (draws of ~1e4 are legitimate); the broken
+    # path exp-overflowed to inf (1.8e8 on TPU, inf under x64 CPU)
+    L = np.asarray(lat.L_full)
+    assert np.all(np.isfinite(L)) and np.max(np.abs(L)) < 1e7, np.max(np.abs(L))
+    idx = jax.random.randint(jax.random.PRNGKey(3), (Bl,), 0, Dl)
+    y = jnp.sin(7 * x)
+    w = jnp.ones((Bl,), dtype)
+    loss = cnmgp.negative_selbo(
+        params, Z, x, y, idx, w, float(Bl), jax.random.PRNGKey(4)
+    )
+    assert np.isfinite(float(loss)) and abs(float(loss)) < 1e12
+
+
 def test_gradients_finite_all_leaves(setup):
     params, Z, x, y, idx, w, loss = setup
     g = jax.jit(jax.grad(lambda p: loss(p, jax.random.PRNGKey(1))))(params)
