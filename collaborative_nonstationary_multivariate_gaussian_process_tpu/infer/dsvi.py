@@ -31,6 +31,7 @@ import optax
 
 from ..models import cnmgp
 from ..models.cnmgp import CNMGPParams
+from ..utils import profiling
 
 __all__ = ["DSVIResult", "make_train_step", "make_scan_epochs", "inference"]
 
@@ -337,6 +338,7 @@ def inference(
                 elbo = float(elbo_fn(params, Z, x, y, idx, k_elbo))
                 elbo_trace.append(elbo)
                 print(f"epoch: {epoch}, ELBO: {elbo:.4f}")
+                profiling.print_mem(epoch)
         epoch = itnum - 1
         if show_ELBO:
             print(f"training takes {time.time() - ts:.2f}s")
@@ -388,6 +390,7 @@ def inference(
             elbo = float(elbo_fn(params, Z, x, y, idx, k_elbo))
             elbo_trace.append(elbo)
             print(f"epoch: {epoch + 1}, ELBO: {elbo:.4f}")
+            profiling.print_mem(epoch + 1)
 
     if verbose or show_ELBO:
         print(f"training takes {time.time() - ts:.2f}s")

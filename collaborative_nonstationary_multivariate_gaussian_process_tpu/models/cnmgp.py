@@ -33,7 +33,7 @@ from ..ops.kernels import gibbs, rbf
 from ..ops.linalg import (
     conditional_projection,
     mgp_mean,
-    mgp_mean_var,
+    mgp_mean_var_tril,
     sample_diag,
     sample_full_cov,
     tril_mask,
@@ -227,15 +227,18 @@ def _sample_latents(
     ell_X = jnp.exp(tilde_ell)
 
     # --- coefficient matrix L(x) ----------------------------------------
+    # mgp_mean_var_tril consumes the variational factors directly — the
+    # per-group (M, M) grams Sigma = L Lᵀ are never materialized and the
+    # q-covariance contribution is nonnegative by construction.
 
     Sigma_U_tril = tril_mask(params.sqrt_U)
-    Sigma_U = jnp.einsum("ijab,ijcb->ijac", Sigma_U_tril, Sigma_U_tril)
 
     dd = jnp.arange(D)
     mu_diag = params.mu_U[dd, dd]  # (D, M)
-    Sig_diag = Sigma_U[dd, dd]  # (D, M, M)
     d11_1 = jnp.full((B,), s2_L1, dtype)
-    mean_d, var_d = mgp_mean_var(P1, K_L1_12, d11_1, mu_diag, Sig_diag)
+    mean_d, var_d = mgp_mean_var_tril(
+        P1, K_L1_12, d11_1, mu_diag, Sigma_U_tril[dd, dd]
+    )
     log_L_diag = sample_diag(k_diag, mean_d, var_d, jitter)  # (D, B)
     L_diag = jnp.exp(log_L_diag)
 
@@ -243,9 +246,10 @@ def _sample_latents(
     if D > 1:
         ii, jj = _offdiag_indices(D)
         mu_off = params.mu_U[ii, jj]  # (T0, M)
-        Sig_off = Sigma_U[ii, jj]  # (T0, M, M)
         d11_0 = jnp.full((B,), s2_L0, dtype)
-        mean_o, var_o = mgp_mean_var(P0, K_L0_12, d11_0, mu_off, Sig_off)
+        mean_o, var_o = mgp_mean_var_tril(
+            P0, K_L0_12, d11_0, mu_off, Sigma_U_tril[ii, jj]
+        )
         L_off = sample_diag(k_off, mean_o, var_o, jitter)  # (T0, B)
         L_full = L_full.at[:, ii, jj].set(L_off.T)
     L_full = L_full.at[:, dd, dd].set(L_diag.T)
@@ -253,10 +257,10 @@ def _sample_latents(
     # --- shared latents g (analytic marginal stats) ---------------------
     K_G_12 = gibbs(x, Z, ell_X, ell_Z, sigma2_g)
     P_G = jax.scipy.linalg.cho_solve((Lp_G, True), K_G_12.T).T
-    Sigma_W_tril = tril_mask(params.sqrt_W)
-    Sigma_W = jnp.einsum("dab,dcb->dac", Sigma_W_tril, Sigma_W_tril)
     d11_g = jnp.full((B,), sigma2_g, dtype)
-    mu_g, s2_g = mgp_mean_var(P_G, K_G_12, d11_g, params.mu_W, Sigma_W)
+    mu_g, s2_g = mgp_mean_var_tril(
+        P_G, K_G_12, d11_g, params.mu_W, tril_mask(params.sqrt_W)
+    )
 
     return _Latents(
         L_full=L_full,

@@ -54,6 +54,10 @@ __all__ = [
     "svc_hadamard_log_posterior",
     "lmc_hadamard_log_posterior",
     "snmgp_deviance",
+    "lmc_deviance",
+    "svc_deviance",
+    "snmgp_covs",
+    "snmgp_hadamard_covs",
     "make_nlp",
     "DEFAULT_HYPERS",
     "SVC_DEFAULT_HYPERS",
@@ -310,6 +314,43 @@ def svc_deviance(pars, Y, x):
     K = jnp.einsum("nm,nia,mja->injm", K_x, L_f, L_f).reshape(M * N, M * N)
     S = K + jnp.exp(p.tilde_sigma2_err) * jnp.eye(N * M, dtype=x.dtype)
     return -2.0 * mvn_logpdf_dense(y, jnp.zeros_like(y), S)
+
+
+def snmgp_covs(pars, Y, x, verbose: bool = False):
+    """Assembled covariance components for debugging (reference `show_covs`,
+    logpos.py:140-158): returns dict(B_f, K_x, sigma2_err).
+
+    Like the reference, the L_vec block is used *raw* (no exp-diagonal) —
+    this mirrors its behavior exactly, so feed it constrained vectors.
+    """
+    N, M = Y.shape
+    p = snmgp_unflatten(pars, N, M)
+    L = vec_to_tril(p.uL_vec, M)
+    B_f = L @ L.T
+    K_x = nonstationary_rbf(x, sigma1=jnp.exp(p.tilde_sigma), ell1=jnp.exp(p.tilde_l))
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    if verbose:
+        print(f"B_f: {B_f}")
+        print(f"K_x: {K_x}")
+        print(f"sigma2_err: {sigma2_err}")
+    return {"B_f": B_f, "K_x": K_x, "sigma2_err": sigma2_err}
+
+
+def snmgp_hadamard_covs(pars, x, indx, verbose: bool = False):
+    """Heterotopic variant (reference `show_covs_hadamard`, logpos.py:160-173):
+    returns dict(B_f, sigma2_err).  `indx` gives the task count."""
+    import numpy as _np
+
+    N = x.shape[0]
+    M = int(_np.unique(_np.asarray(indx)).shape[0])
+    p = snmgp_unflatten(pars, N, M)
+    L = vec_to_tril(p.uL_vec, M)
+    B_f = L @ L.T
+    sigma2_err = jnp.exp(p.tilde_sigma2_err)
+    if verbose:
+        print(f"B_f: {B_f}")
+        print(f"sigma2_err: {sigma2_err}")
+    return {"B_f": B_f, "sigma2_err": sigma2_err}
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,11 @@ __all__ = [
     "sample_diag",
     "conditional_projection",
     "mgp_mean_var",
+    "mgp_mean_var_tril",
     "mgp_mean",
+    "conditional_mean_cov",
+    "joint_sample",
+    "conditional_sample",
     "kl_gaussian",
     "kl_gaussian_chol",
 ]
@@ -201,9 +205,76 @@ def mgp_mean_var(P, K12, d11, mu, Sigma):
     return mean, base + corr
 
 
+def mgp_mean_var_tril(P, K12, d11, mu, scale_tril):
+    """`mgp_mean_var` taking the variational *factor* L (Sigma = L Lᵀ).
+
+    diag(P Sigma Pᵀ) = rowwise ||P L||² — same flops as the Sigma form but
+    skips materializing Sigma (one (…, M, M) gram per group per step) and is
+    nonnegative by construction, so no clamp is needed on the q-covariance
+    term.  This is the form the CNMGP ELBO uses: the variational parameters
+    ARE factors (nmgp_dsvi.py:174-177).
+
+    P: (N, M); K12: (N, M); d11: (N,); mu: (..., M);
+    scale_tril: (..., M, M) lower-triangular.  Returns mean/var (..., N).
+    """
+    mean = jnp.einsum("nm,...m->...n", P, mu)
+    base = jnp.maximum(d11 - jnp.sum(P * K12, axis=-1), 0.0)
+    A = jnp.einsum("nm,...mk->...nk", P, scale_tril)
+    return mean, base + jnp.sum(A * A, axis=-1)
+
+
 def mgp_mean(P, mu):
     """Posterior mean only (reference `MGP_mu`, code/utils.py:149-157)."""
     return jnp.einsum("nm,...m->...n", P, mu)
+
+
+# ---------------------------------------------------------------------------
+# Full-covariance conditioning (reference MGP / JGP / CGP)
+# ---------------------------------------------------------------------------
+
+
+def conditional_mean_cov(K12, K22, mu, Sigma, K11, jitter=DSVI_JITTER):
+    """Full marginalized sparse-GP conditional, N(mean, cov) over N points.
+
+    With P = K12 (K22+jI)^{-1}:
+      mean = P mu
+      cov  = K11 - P K12ᵀ + P Sigma Pᵀ
+
+    Replaces the reference's full-covariance `MGP` (code/utils.py:160-186).
+    `mu` (..., M) and `Sigma` (..., M, M) may carry leading batch dims.
+    Returns mean (..., N), cov (..., N, N).
+    """
+    P = conditional_projection(K12, K22, jitter)
+    mean = jnp.einsum("nm,...m->...n", P, mu)
+    cov = K11 - P @ K12.T + jnp.einsum("nm,...mk,lk->...nl", P, Sigma, P)
+    return mean, cov
+
+
+def joint_sample(key, K12, K22, mu, scale_tril, K11_diag, jitter=DSVI_JITTER):
+    """Joint draw (f(X), v): v ~ N(mu, L Lᵀ + jI), then f | v from the
+    diagonal sparse-GP conditional.
+
+    Replaces the reference's `JGP_S` (code/utils.py:216-237): sample the
+    inducing values with the full-covariance reparameterization, then the
+    factorized conditional with variance diag(K11) - sum(P∘K12).
+    Returns (f (N,), v (M,)).
+    """
+    k_v, k_f = jax.random.split(key)
+    v = sample_full_cov(k_v, mu, scale_tril, jitter)
+    P = conditional_projection(K12, K22, jitter)
+    mean = P @ v
+    var = jnp.maximum(K11_diag - jnp.sum(P * K12, axis=-1), 0.0)
+    f = sample_diag(k_f, mean, var, jitter)
+    return f, v
+
+
+def conditional_sample(key, K12, K22, v, K11_diag, jitter=DSVI_JITTER):
+    """Draw f | v from the factorized GP conditional given *fixed* inducing
+    values v (reference `CGP`, code/utils.py:240-265)."""
+    P = conditional_projection(K12, K22, jitter)
+    mean = P @ v
+    var = jnp.maximum(K11_diag - jnp.sum(P * K12, axis=-1), 0.0)
+    return sample_diag(key, mean, var, jitter)
 
 
 # ---------------------------------------------------------------------------

@@ -194,3 +194,104 @@ def test_kl_fast_logdet_close_to_exact():
     f1 = np.asarray(kl_gaussian_chol(mus, Lq_ill, jnp.zeros(M), Lp, JITTER, exact_logdet=False))
     assert np.all(np.isfinite(e1)) and np.all(np.isfinite(f1))
     assert np.all(f1 >= e1 - 1e-6)
+
+
+def test_mgp_mean_var_tril_matches_sigma_form():
+    """The factor form used by the ELBO equals the Sigma form exactly."""
+    RNG = np.random.default_rng(101)
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        mgp_mean_var_tril,
+    )
+
+    N, M, T = 6, 4, 3
+    K22 = rand_spd(M)
+    K12 = RNG.normal(size=(N, M))
+    d11 = np.abs(RNG.normal(size=N)) + 1.0
+    mu = RNG.normal(size=(T, M))
+    L = np.stack([np.tril(RNG.normal(size=(M, M))) for _ in range(T)])
+    Sigma = np.einsum("tij,tkj->tik", L, L)
+    P = K12 @ np.linalg.inv(K22 + JITTER * np.eye(M))
+    m1, v1 = mgp_mean_var(
+        jnp.asarray(P), jnp.asarray(K12), jnp.asarray(d11), jnp.asarray(mu), jnp.asarray(Sigma)
+    )
+    m2, v2 = mgp_mean_var_tril(
+        jnp.asarray(P), jnp.asarray(K12), jnp.asarray(d11), jnp.asarray(mu), jnp.asarray(L)
+    )
+    np.testing.assert_allclose(m2, m1, rtol=1e-12)
+    np.testing.assert_allclose(v2, v1, rtol=1e-6)
+
+
+def test_conditional_mean_cov_vs_dense():
+    """Full-covariance marginalized conditional (reference MGP,
+    code/utils.py:160-186) vs the dense formula."""
+    RNG = np.random.default_rng(102)
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        conditional_mean_cov,
+    )
+
+    N, M = 5, 4
+    K22 = rand_spd(M)
+    K12 = RNG.normal(size=(N, M))
+    K11 = rand_spd(N)
+    mu = RNG.normal(size=M)
+    A = RNG.normal(size=(M, M))
+    Sigma = A @ A.T
+    mean, cov = conditional_mean_cov(
+        jnp.asarray(K12), jnp.asarray(K22), jnp.asarray(mu), jnp.asarray(Sigma),
+        jnp.asarray(K11), JITTER,
+    )
+    P = K12 @ np.linalg.inv(K22 + JITTER * np.eye(M))
+    np.testing.assert_allclose(mean, P @ mu, rtol=1e-7)
+    np.testing.assert_allclose(
+        cov, K11 - P @ K12.T + P @ Sigma @ P.T, rtol=1e-6, atol=1e-8
+    )
+
+
+def test_joint_and_conditional_sample_moments():
+    """JGP_S / CGP equivalents: empirical moments match the analytic
+    conditional law (reference code/utils.py:216-265)."""
+    RNG = np.random.default_rng(103)
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        conditional_sample,
+        joint_sample,
+    )
+
+    N, M = 4, 3
+    K22 = rand_spd(M)
+    K12 = 0.3 * RNG.normal(size=(N, M))
+    K11d = np.abs(RNG.normal(size=N)) + 2.0
+    mu = RNG.normal(size=M)
+    Lq = np.tril(RNG.normal(size=(M, M))) + np.eye(M)
+    P = K12 @ np.linalg.inv(K22 + JITTER * np.eye(M))
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 20000)
+    f, v = jax.jit(
+        jax.vmap(
+            lambda k: joint_sample(
+                k, jnp.asarray(K12), jnp.asarray(K22), jnp.asarray(mu),
+                jnp.asarray(Lq), jnp.asarray(K11d), JITTER,
+            )
+        )
+    )(keys)
+    f, v = np.asarray(f), np.asarray(v)
+    np.testing.assert_allclose(v.mean(0), mu, atol=0.05)
+    # law of total (co)variance for f: P Sigma_v Pᵀ + diag(base + jitter)
+    Sigma_v = Lq @ Lq.T + JITTER * np.eye(M)
+    base = np.maximum(K11d - np.sum(P * K12, -1), 0.0) + JITTER
+    np.testing.assert_allclose(f.mean(0), P @ mu, atol=0.08)
+    np.testing.assert_allclose(
+        np.cov(f.T), P @ Sigma_v @ P.T + np.diag(base), atol=0.15
+    )
+
+    v0 = jnp.asarray(RNG.normal(size=M))
+    g = np.asarray(
+        jax.jit(
+            jax.vmap(
+                lambda k: conditional_sample(
+                    k, jnp.asarray(K12), jnp.asarray(K22), v0, jnp.asarray(K11d), JITTER
+                )
+            )
+        )(keys)
+    )
+    np.testing.assert_allclose(g.mean(0), P @ np.asarray(v0), atol=0.05)
+    np.testing.assert_allclose(g.var(0), base, atol=0.1)

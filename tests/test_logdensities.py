@@ -202,3 +202,49 @@ def test_snmgp_deviance_matches_loglik():
     y = Y.T.reshape(-1)
     ll = multivariate_normal.logpdf(y, cov=S) + 0.5 * N * M * np.log(2 * np.pi)
     np.testing.assert_allclose(dev, -2 * ll, rtol=1e-7)
+
+
+def test_show_covs_components():
+    """snmgp_covs / snmgp_hadamard_covs (reference show_covs*,
+    logpos.py:140-173): raw L_vec -> B_f = L Lᵀ, nonstationary K_x."""
+    RNGL = np.random.default_rng(104)
+    x, Y = make_data()
+    tilde_l = 0.2 * RNGL.standard_normal(N)
+    tilde_sigma = 0.2 * RNGL.standard_normal(N)
+    L_vec = 0.5 + 0.2 * RNGL.standard_normal(T)
+    pars = jnp.asarray(np.concatenate([tilde_l, tilde_sigma, L_vec, [-1.0]]))
+    covs = ld.snmgp_covs(pars, jnp.asarray(Y), jnp.asarray(x))
+    L = _tril_np(L_vec, M)
+    np.testing.assert_allclose(covs["B_f"], L @ L.T, rtol=1e-6)
+    np.testing.assert_allclose(
+        covs["K_x"], _gibbs_np(x, np.exp(tilde_l), np.exp(tilde_sigma)), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(covs["sigma2_err"]), np.exp(-1.0), rtol=1e-6)
+
+    indx = jnp.asarray(np.arange(N) % M)
+    covs_h = ld.snmgp_hadamard_covs(pars, jnp.asarray(x), indx)
+    np.testing.assert_allclose(covs_h["B_f"], L @ L.T, rtol=1e-6)
+    assert "K_x" not in covs_h
+
+
+def test_profiling_utils():
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.profiling import (
+        PhaseTimer,
+        device_memory_stats,
+        print_mem,
+        rss_mb,
+    )
+
+    t = PhaseTimer()
+    with t.phase("alpha"):
+        sum(range(1000))
+    with t.phase("alpha"):
+        pass
+    with t.phase("beta"):
+        pass
+    assert t.counts["alpha"] == 2 and t.counts["beta"] == 1
+    rep = t.report()
+    assert "alpha" in rep and "beta" in rep
+    assert rss_mb() > 10.0
+    assert print_mem(3) > 10.0
+    assert isinstance(device_memory_stats(), dict)
