@@ -91,8 +91,11 @@ def main():
     run_epochs = make_scan_epochs(optimizer, float(N), 1e-4, num_batches, B)
 
     # warmup / compile (same n_epochs: it is a static arg — different values
-    # would recompile inside the timed region)
-    n_epochs = 8
+    # would recompile inside the timed region).  80 epochs (1200 steps) per
+    # dispatch: the axon tunnel costs ~24 ms fixed per dispatch+fetch, which
+    # at 8 epochs was ~200 us/step of pure host overhead; production training
+    # runs 100-epoch probe intervals per dispatch, so this matches real use.
+    n_epochs = 80
     params2, opt2, losses = run_epochs(
         params, opt_state, grad_mask, Z, x, y, idx, jax.random.PRNGKey(1), n_epochs
     )

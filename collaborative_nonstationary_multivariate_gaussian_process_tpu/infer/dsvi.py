@@ -143,29 +143,40 @@ def make_scan_epochs(
         params, opt_state, grad_mask, Z, x, y, idx = carry
         n = x.shape[0]
         k_perm, k_steps = jax.random.split(key)
+        # Shuffle the epoch's data DIRECTLY with one multi-operand sort by
+        # random keys (= a uniform random permutation of the rows), then
+        # scan over contiguous slices.  TPU gathers cost ~6 ns/row whether
+        # issued per step or per epoch (~90 us/step at B=2000 — a quarter
+        # of the training step); the variadic sort shuffles all three
+        # arrays in ~40 us/epoch and slicing a scanned operand is free.
         if num_batches == 1:
-            batch_sel = jnp.arange(n)[None, :]
+            ex = x[None, :]
+            ey = y[None, :]
+            ei = idx[None, :]
             batch_w = jnp.ones((1, n), x.dtype)
         else:
-            perm = jax.random.permutation(k_perm, n)
+            rkeys = jax.random.bits(k_perm, (n,), jnp.uint32)
+            _, sx, sy, si = jax.lax.sort((rkeys, x, y, idx), dimension=0, num_keys=1)
             pad = num_batches * batch_size - n
-            padded = jnp.concatenate([perm, jnp.zeros(pad, perm.dtype)])
-            batch_sel = padded.reshape(num_batches, batch_size)
+            shape = (num_batches, batch_size)
+            ex = jnp.concatenate([sx, jnp.zeros(pad, x.dtype)]).reshape(shape)
+            ey = jnp.concatenate([sy, jnp.zeros(pad, y.dtype)]).reshape(shape)
+            ei = jnp.concatenate([si, jnp.zeros(pad, idx.dtype)]).reshape(shape)
             batch_w = jnp.concatenate(
                 [jnp.ones(n, x.dtype), jnp.zeros(pad, x.dtype)]
-            ).reshape(num_batches, batch_size)
+            ).reshape(shape)
 
         def step_body(pc, inp):
             params, opt_state = pc
-            sel, w, k = inp
+            bx, by, bi, w, k = inp
 
             def loss_fn(p):
                 return cnmgp.negative_selbo(
                     p,
                     Z,
-                    shard_rows(x[sel]),
-                    shard_rows(y[sel]),
-                    shard_rows(idx[sel]),
+                    shard_rows(bx),
+                    shard_rows(by),
+                    shard_rows(bi),
                     shard_rows(w),
                     n_total,
                     k,
@@ -184,7 +195,7 @@ def make_scan_epochs(
 
         step_keys = jax.random.split(k_steps, num_batches)
         (params, opt_state), losses = jax.lax.scan(
-            step_body, (params, opt_state), (batch_sel, batch_w, step_keys)
+            step_body, (params, opt_state), (ex, ey, ei, batch_w, step_keys)
         )
         return (params, opt_state, grad_mask, Z, x, y, idx), losses
 

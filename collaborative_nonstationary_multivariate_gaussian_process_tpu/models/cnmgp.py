@@ -31,11 +31,13 @@ from ..config import DSVI_JITTER
 from ..ops.distributions import normal_logprob_sum
 from ..ops.kernels import gibbs, rbf
 from ..ops.linalg import (
+    chol_tri_inv,
     conditional_projection,
     mgp_mean,
-    mgp_mean_var_tril,
+    mgp_mean_var_white,
     sample_diag,
     sample_full_cov,
+    tri_solve_white,
     tril_mask,
 )
 
@@ -138,11 +140,14 @@ def _offdiag_indices(D: int):
 class _Latents(NamedTuple):
     """Per-minibatch sampled/conditioned latent quantities.
 
-    The prior Cholesky factors are carried instead of the raw K22 grams:
-    they are factored once here (one batched Cholesky for the three
-    stationary kernels + one for the Gibbs kernel) and reused by both the
-    conditional projections and the KL terms — the reference re-factors
-    the same matrices in `KL_Gaussian` (utils.py:344-348).
+    The prior factorizations are carried in *whitened* form: the batched
+    Cholesky runs once (3 stationary kernels + the Gibbs kernel), its
+    triangular inverse `Lp_inv` turns every later prior solve into an MXU
+    matmul, and the whitened variational factors `Wh_* = Lp^{-1} Lq` are
+    shared between the conditional variances and the KL trace terms — the
+    reference re-factors the same matrices in `KL_Gaussian`
+    (utils.py:344-348) and solves against them once per tri-entry
+    (utils.py:118).  Prior order everywhere: [tildeell, L0, L1, G].
     """
 
     L_full: jax.Array  # (B, D, D) full sampled coefficient matrices
@@ -150,8 +155,12 @@ class _Latents(NamedTuple):
     sigma2_g: jax.Array  # (D, B)
     tilde_ell: jax.Array  # (B,)
     sampled_v: jax.Array  # (M,)
-    Lp_stat: jax.Array  # (3, M, M) chol of (K22 + jI) for [tildeell, L0, L1]
-    Lp_G: jax.Array  # (M, M) chol of (K_G_22 + jI)
+    Lp_all: jax.Array  # (4, M, M) chol of (K22 + jI), [te, L0, L1, G]
+    Lp_inv: jax.Array  # (4, M, M) triangular inverses of Lp_all
+    Wh_v: jax.Array  # (M, M)      Lp_te^{-1} tril(sqrt_v)
+    Wh_off: jax.Array  # (T0, M, M) Lp_L0^{-1} tril(sqrt_U)[offdiag]
+    Wh_diag: jax.Array  # (D, M, M)  Lp_L1^{-1} tril(sqrt_U)[diag]
+    Wh_W: jax.Array  # (D, M, M)  Lp_G^{-1} tril(sqrt_W)
 
 
 def _sample_latents(
@@ -203,41 +212,46 @@ def _sample_latents(
     K_G_22 = gibbs(Z, Z, ell_Z, ell_Z, sigma2_g).astype(dtype)
     M = Z.shape[0]
     eyeM = jnp.eye(M, dtype=dtype)
-    Lp_all = jnp.linalg.cholesky(
+    # Whitened conditioning: ONE batched Cholesky + triangular inverse of
+    # the four prior factors (fused custom-VJP op: backward is matmul-only)
+    # plus ONE batched forward substitution for the cross grams; every
+    # remaining prior contraction (means, variances, KL traces/Mahalanobis)
+    # is then an MXU matmul.  The ill-conditioned direction — K12 against
+    # the prior — still goes through the backward-stable substitution
+    # (A below), NOT through an explicit K22^{-1} (which overflows the
+    # conditional moments in f32 at the drivers' extreme init
+    # lengthscales); Lp_inv itself only ever appears inside sums of
+    # squares and M-vector projections.
+    Lp_all, Lp_inv = chol_tri_inv(
         jnp.stack([K_te_22, K_L0_22, K_L1_22, K_G_22]) + jitter * eyeM
     )
-    Lp_stat, Lp_G = Lp_all[:3], Lp_all[3]
-    # P = K12 K22^{-1} via triangular solves on K12^T (NOT the explicit
-    # inverse): the RBF gram is ill-conditioned in f32 at small lengthscales
-    # (cond >> 1/eps even with jitter), and the backward-stable
-    # back-substitution keeps P bounded where forming K22^{-1} explicitly
-    # overflows the conditional mean/variance at init.
     K12s = jnp.stack([K_te_12, K_L0_12, K_L1_12])  # (3, B, M)
-    Ps = jax.scipy.linalg.cho_solve(
-        (Lp_stat, True), K12s.transpose(0, 2, 1)
-    ).transpose(0, 2, 1)
-    P_te, P0, P1 = Ps[0], Ps[1], Ps[2]
+    A_stat = tri_solve_white(
+        Lp_all[:3], Lp_inv[:3], K12s.transpose(0, 2, 1)
+    )  # (3, M, B): A = Lp^{-1} K12ᵀ
+    A_te, A_L0, A_L1 = A_stat[0], A_stat[1], A_stat[2]
 
     # --- (v, tilde_ell) joint draw (v drawn above, before the batch) -----
-    mu_te = mgp_mean(P_te, sampled_v)
+    mu_te = A_te.T @ (Lp_inv[0] @ sampled_v)
     # clamp the Nystrom residual: float32 cancellation can exceed the
     # reparameterize jitter at large M (see ops/linalg.mgp_mean_var)
-    var_te = jnp.maximum(s2_te - jnp.sum(P_te * K_te_12, axis=-1), 0.0)
+    var_te = jnp.maximum(s2_te - jnp.sum(A_te * A_te, axis=0), 0.0)
     tilde_ell = sample_diag(k_te, mu_te, var_te, jitter)
     ell_X = jnp.exp(tilde_ell)
+    Wh_v = Lp_inv[0] @ tril_mask(params.sqrt_v)
 
     # --- coefficient matrix L(x) ----------------------------------------
-    # mgp_mean_var_tril consumes the variational factors directly — the
-    # per-group (M, M) grams Sigma = L Lᵀ are never materialized and the
-    # q-covariance contribution is nonnegative by construction.
+    # mgp_mean_var_white consumes the variational factors directly — no
+    # Sigma = L Lᵀ grams, nonnegative q-variance by construction, and the
+    # whitened factors Wh feed the KL for free.
 
     Sigma_U_tril = tril_mask(params.sqrt_U)
 
     dd = jnp.arange(D)
     mu_diag = params.mu_U[dd, dd]  # (D, M)
     d11_1 = jnp.full((B,), s2_L1, dtype)
-    mean_d, var_d = mgp_mean_var_tril(
-        P1, K_L1_12, d11_1, mu_diag, Sigma_U_tril[dd, dd]
+    mean_d, var_d, Wh_diag = mgp_mean_var_white(
+        A_L1, Lp_inv[2], d11_1, mu_diag, Sigma_U_tril[dd, dd]
     )
     log_L_diag = sample_diag(k_diag, mean_d, var_d, jitter)  # (D, B)
     L_diag = jnp.exp(log_L_diag)
@@ -247,19 +261,21 @@ def _sample_latents(
         ii, jj = _offdiag_indices(D)
         mu_off = params.mu_U[ii, jj]  # (T0, M)
         d11_0 = jnp.full((B,), s2_L0, dtype)
-        mean_o, var_o = mgp_mean_var_tril(
-            P0, K_L0_12, d11_0, mu_off, Sigma_U_tril[ii, jj]
+        mean_o, var_o, Wh_off = mgp_mean_var_white(
+            A_L0, Lp_inv[1], d11_0, mu_off, Sigma_U_tril[ii, jj]
         )
         L_off = sample_diag(k_off, mean_o, var_o, jitter)  # (T0, B)
         L_full = L_full.at[:, ii, jj].set(L_off.T)
+    else:
+        Wh_off = jnp.zeros((0, M, M), dtype)
     L_full = L_full.at[:, dd, dd].set(L_diag.T)
 
     # --- shared latents g (analytic marginal stats) ---------------------
     K_G_12 = gibbs(x, Z, ell_X, ell_Z, sigma2_g)
-    P_G = jax.scipy.linalg.cho_solve((Lp_G, True), K_G_12.T).T
+    A_G = tri_solve_white(Lp_all[3], Lp_inv[3], K_G_12.T)
     d11_g = jnp.full((B,), sigma2_g, dtype)
-    mu_g, s2_g = mgp_mean_var_tril(
-        P_G, K_G_12, d11_g, params.mu_W, tril_mask(params.sqrt_W)
+    mu_g, s2_g, Wh_W = mgp_mean_var_white(
+        A_G, Lp_inv[3], d11_g, params.mu_W, tril_mask(params.sqrt_W)
     )
 
     return _Latents(
@@ -268,39 +284,54 @@ def _sample_latents(
         sigma2_g=s2_g,
         tilde_ell=tilde_ell,
         sampled_v=sampled_v,
-        Lp_stat=Lp_stat,
-        Lp_G=Lp_G,
+        Lp_all=Lp_all,
+        Lp_inv=Lp_inv,
+        Wh_v=Wh_v,
+        Wh_off=Wh_off,
+        Wh_diag=Wh_diag,
+        Wh_W=Wh_W,
     )
 
 
 def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER):
     """The three KL groups (nmgp_dsvi.py:266-295).
 
-    The prior Cholesky factors come precomputed from `_sample_latents`
-    (the reference re-factors the same matrices, utils.py:344-348); the
-    q-side uses the fast diag-based logdet (exact_logdet=False) — at D=78
-    the batched re-Cholesky of the D^2 variational covariances would
-    otherwise dominate the training step (see ops/linalg.kl_gaussian_chol).
+    Everything expensive is already computed by `_sample_latents`: the
+    whitened variational factors Wh = Lp^{-1} Lq carry the trace terms, the
+    batched triangular inverse carries the Mahalanobis projections, and the
+    prior logdets read off the Cholesky diagonals — the reference re-factors
+    and re-solves all of it inside `KL_Gaussian` (utils.py:332-351).  The
+    q-side uses the fast diag-based logdet (see ops/linalg.kl_gaussian_chol)
+    — at D=78 a batched re-Cholesky of the D^2 variational covariances would
+    dominate the training step.
     """
-    from ..ops.linalg import kl_gaussian_chol
+    from ..ops.linalg import kl_gaussian_white
 
     D = params.num_outputs
-    M = params.num_inducing
-    zeros = jnp.zeros((M,), params.mu_v.dtype)
 
-    kl = partial(kl_gaussian_chol, jitter=jitter, exact_logdet=False)
-    kl_W = jnp.sum(kl(params.mu_W, tril_mask(params.sqrt_W), zeros, lat.Lp_G))
-    kl_v = kl(params.mu_v, tril_mask(params.sqrt_v), zeros, lat.Lp_stat[0])
+    # per-prior scalars, order [te, L0, L1, G]
+    logdet_p = jnp.sum(
+        jnp.log(jnp.diagonal(lat.Lp_all, axis1=-2, axis2=-1)), axis=-1
+    )
+    jtrace = jitter * jnp.sum(lat.Lp_inv**2, axis=(-2, -1))
+
+    kl = partial(kl_gaussian_white, jitter=jitter)
+    kl_W = jnp.sum(
+        kl(params.mu_W, tril_mask(params.sqrt_W), lat.Wh_W, logdet_p[3], jtrace[3], lat.Lp_inv[3])
+    )
+    kl_v = kl(
+        params.mu_v, tril_mask(params.sqrt_v), lat.Wh_v, logdet_p[0], jtrace[0], lat.Lp_inv[0]
+    )
 
     dd = jnp.arange(D)
     sqrt_U_tril = tril_mask(params.sqrt_U)
     kl_U = jnp.sum(
-        kl(params.mu_U[dd, dd], sqrt_U_tril[dd, dd], zeros, lat.Lp_stat[2])
+        kl(params.mu_U[dd, dd], sqrt_U_tril[dd, dd], lat.Wh_diag, logdet_p[2], jtrace[2], lat.Lp_inv[2])
     )
     if D > 1:
         ii, jj = _offdiag_indices(D)
         kl_U = kl_U + jnp.sum(
-            kl(params.mu_U[ii, jj], sqrt_U_tril[ii, jj], zeros, lat.Lp_stat[1])
+            kl(params.mu_U[ii, jj], sqrt_U_tril[ii, jj], lat.Wh_off, logdet_p[1], jtrace[1], lat.Lp_inv[1])
         )
     return kl_W, kl_v, kl_U
 
@@ -310,8 +341,10 @@ def _reconstruction(params: CNMGPParams, lat: _Latents, y, idx, weight):
 
     `weight` is a 0/1 mask enabling padded (static-shape) final batches.
     """
-    B = y.shape[0]
-    sampled_l = lat.L_full[jnp.arange(B), idx]  # (B, D)
+    # one-hot contraction instead of a dynamic row gather: the (B,)-indexed
+    # gather lowers to a slow scatter/gather path on TPU, the einsum is MXU
+    onehot = jax.nn.one_hot(idx, lat.L_full.shape[-1], dtype=y.dtype)
+    sampled_l = jnp.einsum("bij,bi->bj", lat.L_full, onehot)  # (B, D)
     s2_err = jnp.exp(params.sigma2_err_log)
     F = jnp.sum(sampled_l * lat.mu_g.T, axis=1)
 
@@ -392,10 +425,10 @@ def sample_y_once(params: CNMGPParams, Z, x, idx, key, jitter=DSVI_JITTER):
     """
     k_lat, k_g, k_y = jax.random.split(key, 3)
     lat = _sample_latents(params, Z, x, k_lat, jitter)
-    B = x.shape[0]
     # draw g from its marginal
     g_star = sample_diag(k_g, lat.mu_g, lat.sigma2_g, jitter)  # (D, B)
-    l_star = lat.L_full[jnp.arange(B), idx]  # (B, D)
+    onehot = jax.nn.one_hot(idx, params.num_outputs, dtype=x.dtype)
+    l_star = jnp.einsum("bij,bi->bj", lat.L_full, onehot)  # (B, D)
     F = jnp.sum(l_star * g_star.T, axis=1)
     s2_err = jnp.exp(params.sigma2_err_log)
     y_star = sample_diag(k_y, F, jnp.full_like(F, s2_err), jitter)

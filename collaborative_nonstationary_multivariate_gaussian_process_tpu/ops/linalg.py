@@ -34,6 +34,10 @@ __all__ = [
     "conditional_projection",
     "mgp_mean_var",
     "mgp_mean_var_tril",
+    "mgp_mean_var_white",
+    "kl_gaussian_white",
+    "chol_tri_inv",
+    "tri_solve_white",
     "mgp_mean",
     "conditional_mean_cov",
     "joint_sample",
@@ -221,6 +225,134 @@ def mgp_mean_var_tril(P, K12, d11, mu, scale_tril):
     base = jnp.maximum(d11 - jnp.sum(P * K12, axis=-1), 0.0)
     A = jnp.einsum("nm,...mk->...nk", P, scale_tril)
     return mean, base + jnp.sum(A * A, axis=-1)
+
+
+@jax.custom_vjp
+def chol_tri_inv(K):
+    """Fused (L, L^{-1}) of SPD K (..., M, M): one batched Cholesky + one
+    batched triangular inverse.
+
+    The custom VJP evaluates both pullbacks purely with matmuls against the
+    primal L^{-1} — the Cholesky pullback (Murray 2016) needs L^{-T}·sym·L^{-1}
+    and the inverse pullback needs -L^{-T} ḡ L^{-T}, which XLA's generic
+    rules would otherwise lower to sequential triangular solves.  On TPU the
+    solves are latency-bound (~35 us at M=100) while the matmuls are free on
+    the MXU, so the whole backward pass of the conditioning block collapses
+    to matmuls.
+    """
+    L = jnp.linalg.cholesky(K)
+    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.broadcast_to(eye, L.shape), lower=True
+    )
+    return L, Linv
+
+
+def _chol_tri_inv_fwd(K):
+    out = chol_tri_inv(K)
+    return out, out
+
+
+def _chol_tri_inv_bwd(res, cot):
+    L, Linv = res
+    Lbar, Linvbar = cot
+    m = L.shape[-1]
+    LinvT = jnp.swapaxes(Linv, -1, -2)
+    # d(L^{-1}) = -L^{-1} dL L^{-1}  =>  contribution to L̄:
+    Lbar_total = Lbar - LinvT @ Linvbar @ LinvT
+    # Cholesky pullback: K̄ = L^{-T} (0.5 (Φ + Φᵀ)) L^{-1},
+    # Φ = tril(Lᵀ L̄) with halved diagonal
+    P = jnp.swapaxes(L, -1, -2) @ Lbar_total
+    tri = jnp.tril(jnp.ones((m, m), L.dtype)) - 0.5 * jnp.eye(m, dtype=L.dtype)
+    phi = P * tri
+    sym = 0.5 * (phi + jnp.swapaxes(phi, -1, -2))
+    Kbar = LinvT @ sym @ Linv
+    return (Kbar,)
+
+
+chol_tri_inv.defvjp(_chol_tri_inv_fwd, _chol_tri_inv_bwd)
+
+
+@jax.custom_vjp
+def tri_solve_white(L, Linv, B):
+    """A = L^{-1} B via backward-stable forward substitution, with a
+    matmul-only VJP evaluated against the precomputed L^{-1}.
+
+    The forward keeps the substitution (an explicit-inverse multiply loses
+    accuracy exactly in the ill-conditioned directions that blew up the f32
+    conditional moments — see tests/test_elbo.py::
+    test_f32_latents_stable_at_illconditioned_init); the exact pullbacks
+      B̄ = L^{-T} Ā,   L̄ = -B̄ Aᵀ
+    only *evaluate* L^{-T}· as a matmul.  Linv is an auxiliary operand
+    (the function value does not depend on it) — zero cotangent.
+    L, Linv: (..., M, M); B: (..., M, N).
+    """
+    return jax.scipy.linalg.solve_triangular(L, B, lower=True)
+
+
+def _tsw_fwd(L, Linv, B):
+    A = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    return A, (Linv, A)
+
+
+def _tsw_bwd(res, Abar):
+    Linv, A = res
+    Bbar = jnp.swapaxes(Linv, -1, -2) @ Abar
+    Lbar = -Bbar @ jnp.swapaxes(A, -1, -2)
+    # L is triangular: project the cotangent onto the lower triangle
+    Lbar = jnp.tril(Lbar)
+    return (Lbar, jnp.zeros_like(Linv), Bbar)
+
+
+tri_solve_white.defvjp(_tsw_fwd, _tsw_bwd)
+
+
+def mgp_mean_var_white(A, Lp_inv, d11, mu, scale_tril):
+    """Whitened marginalized sparse-GP stats — the TPU hot-path form.
+
+    Takes the half-projection A = Lp^{-1} K12ᵀ (one forward substitution,
+    half the work of the full cho_solve) and the explicit triangular inverse
+    Lp_inv = Lp^{-1}; every remaining contraction is an MXU matmul:
+
+      mean = Aᵀ (Lp_inv mu)                     (= P mu)
+      var  = max(d11 - colsum(A²), 0) + rowsum((Aᵀ W)²)   (= Nystrom + PΣPᵀ)
+      W    = Lp_inv @ scale_tril                (whitened variational factor)
+
+    W is returned because KL(q‖p) needs exactly ‖W‖_F² for its trace term
+    (see `kl_gaussian_white`) — computing it here dedups the two call sites.
+    The explicit inverse appears only inside sums of squares and small
+    vector projections (no catastrophic cancellation); the ill-conditioned
+    direction — the Nystrom residual — still comes from the backward-stable
+    substitution A.
+
+    A: (M, N); Lp_inv: (M, M); d11: (N,); mu: (..., M);
+    scale_tril: (..., M, M).  Returns mean (..., N), var (..., N), W.
+    """
+    half_mu = jnp.einsum("ab,...b->...a", Lp_inv, mu)
+    mean = jnp.einsum("mn,...m->...n", A, half_mu)
+    base = jnp.maximum(d11 - jnp.sum(A * A, axis=0), 0.0)
+    W = jnp.einsum("ab,...bc->...ac", Lp_inv, scale_tril)
+    C = jnp.einsum("mn,...mk->...nk", A, W)
+    return mean, base + jnp.sum(C * C, axis=-1), W
+
+
+def kl_gaussian_white(mu_q, scale_tril_q, W, logdet_p, jtrace, Lp_inv, jitter=DSVI_JITTER):
+    """KL( N(mu_q, Lq Lqᵀ + jI) ‖ N(0, K_p + jI) ) from whitened pieces.
+
+    Same value as `kl_gaussian_chol(..., exact_logdet=False)` but with every
+    prior factorization shared across groups: W = Lp^{-1} Lq comes free from
+    `mgp_mean_var_white`, `logdet_p` = sum log diag Lp, and
+    `jtrace` = jitter * ||Lp^{-1}||_F² are per-prior scalars computed once.
+
+      KL = (logdet_p - logdet_q) + 0.5 (‖W‖_F² + jtrace + ‖Lp^{-1} mu_q‖² - M)
+    """
+    m = mu_q.shape[-1]
+    dq = jnp.diagonal(scale_tril_q, axis1=-2, axis2=-1)
+    logdet_q = 0.5 * jnp.sum(jnp.log(dq * dq + jitter), axis=-1)
+    trace = jnp.sum(W * W, axis=(-2, -1)) + jtrace
+    sol = jnp.einsum("ab,...b->...a", Lp_inv, mu_q)
+    maha = jnp.sum(sol * sol, axis=-1)
+    return (logdet_p - logdet_q) + 0.5 * (trace + maha - m)
 
 
 def mgp_mean(P, mu):

@@ -295,3 +295,111 @@ def test_joint_and_conditional_sample_moments():
     )
     np.testing.assert_allclose(g.mean(0), P @ np.asarray(v0), atol=0.05)
     np.testing.assert_allclose(g.var(0), base, atol=0.1)
+
+
+def test_mgp_mean_var_white_matches_solve_form():
+    """Whitened hot-path form (A = Lp^{-1}K12ᵀ + explicit Lp_inv) equals the
+    cho_solve-based Sigma form; returned W = Lp^{-1} Lq."""
+    RNG = np.random.default_rng(105)
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        chol_with_jitter,
+        mgp_mean_var_white,
+    )
+    import jax.scipy.linalg as jsl
+
+    N, Mi, T = 6, 4, 3
+    K22 = rand_spd(Mi)
+    K12 = RNG.normal(size=(N, Mi))
+    d11 = np.abs(RNG.normal(size=N)) + 1.0
+    mu = RNG.normal(size=(T, Mi))
+    L = np.stack([np.tril(RNG.normal(size=(Mi, Mi))) for _ in range(T)])
+    Sigma = np.einsum("tij,tkj->tik", L, L)
+
+    Lp = np.asarray(chol_with_jitter(jnp.asarray(K22), JITTER))
+    Lp_inv = np.asarray(
+        jsl.solve_triangular(jnp.asarray(Lp), jnp.eye(Mi), lower=True)
+    )
+    A = np.asarray(
+        jsl.solve_triangular(jnp.asarray(Lp), jnp.asarray(K12.T), lower=True)
+    )
+    mean, var, W = mgp_mean_var_white(
+        jnp.asarray(A), jnp.asarray(Lp_inv), jnp.asarray(d11), jnp.asarray(mu), jnp.asarray(L)
+    )
+    P = K12 @ np.linalg.inv(K22 + JITTER * np.eye(Mi))
+    exp_mean = mu @ P.T
+    exp_var = np.stack(
+        [
+            np.maximum(d11 - np.sum(P * K12, -1), 0) + np.diag(P @ Sigma[t] @ P.T)
+            for t in range(T)
+        ]
+    )
+    np.testing.assert_allclose(mean, exp_mean, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(var, exp_var, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(W, Lp_inv @ L, rtol=1e-6, atol=1e-10)
+
+
+def test_kl_gaussian_white_matches_chol_fast():
+    """kl_gaussian_white == kl_gaussian_chol(exact_logdet=False) given the
+    shared whitened pieces."""
+    RNG = np.random.default_rng(106)
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        chol_with_jitter,
+        kl_gaussian_chol,
+        kl_gaussian_white,
+    )
+    import jax.scipy.linalg as jsl
+
+    Mi, Bn = 5, 4
+    Kp = rand_spd(Mi)
+    Lp = chol_with_jitter(jnp.asarray(Kp), JITTER)
+    Lp_inv = jsl.solve_triangular(Lp, jnp.eye(Mi), lower=True)
+    mus = jnp.asarray(RNG.normal(size=(Bn, Mi)))
+    Lqs = jnp.asarray(
+        np.stack([np.tril(RNG.normal(size=(Mi, Mi))) for _ in range(Bn)])
+    )
+    expected = kl_gaussian_chol(mus, Lqs, jnp.zeros(Mi), Lp, JITTER, exact_logdet=False)
+    W = jnp.einsum("ab,tbc->tac", Lp_inv, Lqs)
+    logdet_p = jnp.sum(jnp.log(jnp.diagonal(Lp)))
+    jtrace = JITTER * jnp.sum(Lp_inv**2)
+    got = kl_gaussian_white(mus, Lqs, W, logdet_p, jtrace, Lp_inv, JITTER)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_chol_tri_inv_and_solve_white_grads_match_xla():
+    """Custom matmul-only VJPs of chol_tri_inv / tri_solve_white equal XLA's
+    native rules (same function, different pullback evaluation)."""
+    RNG = np.random.default_rng(107)
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        chol_tri_inv,
+        tri_solve_white,
+    )
+    import jax.scipy.linalg as jsl
+
+    Mi, Nc = 5, 3
+    K = jnp.asarray(np.stack([rand_spd(Mi), rand_spd(Mi)]))
+    Bm = jnp.asarray(RNG.normal(size=(2, Mi, Nc)))
+    gL = jnp.asarray(RNG.normal(size=(2, Mi, Mi)))
+    gI = jnp.asarray(RNG.normal(size=(2, Mi, Mi)))
+    gA = jnp.asarray(RNG.normal(size=(2, Mi, Nc)))
+
+    def f_custom(K, Bm):
+        L, Linv = chol_tri_inv(K)
+        A = tri_solve_white(L, Linv, Bm)
+        return jnp.sum(L * gL) + jnp.sum(Linv * gI) + jnp.sum(A * gA)
+
+    def f_xla(K, Bm):
+        L = jnp.linalg.cholesky(K)
+        eye = jnp.broadcast_to(jnp.eye(Mi, dtype=K.dtype), L.shape)
+        Linv = jsl.solve_triangular(L, eye, lower=True)
+        A = jsl.solve_triangular(L, Bm, lower=True)
+        return jnp.sum(L * gL) + jnp.sum(Linv * gI) + jnp.sum(A * gA)
+
+    v1 = float(f_custom(K, Bm))
+    v2 = float(f_xla(K, Bm))
+    np.testing.assert_allclose(v1, v2, rtol=1e-10)
+    gK1, gB1 = jax.grad(f_custom, argnums=(0, 1))(K, Bm)
+    gK2, gB2 = jax.grad(f_xla, argnums=(0, 1))(K, Bm)
+    np.testing.assert_allclose(gB1, gB2, rtol=1e-8, atol=1e-10)
+    # the value only depends on sym(K): compare symmetrized K-gradients
+    sym = lambda g: 0.5 * (np.asarray(g) + np.asarray(g).swapaxes(-1, -2))
+    np.testing.assert_allclose(sym(gK1), sym(gK2), rtol=1e-7, atol=1e-9)
