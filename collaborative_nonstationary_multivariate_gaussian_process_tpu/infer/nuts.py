@@ -180,6 +180,9 @@ def nuts_kernel(
                 jnp.logical_not(jnp.logical_or(c["turning"], c["diverging"])),
             )
 
+        ck_iota = jnp.arange(max_depth + 1, dtype=jnp.int32)
+        spans = jnp.int32(2) ** jnp.arange(1, max_depth + 1, dtype=jnp.int32)
+
         def body(c):
             n = c["n"]
             q, p, g, lp = leapfrog(c["q"], c["p"], c["g"], eps)
@@ -198,27 +201,41 @@ def nuts_kernel(
             g_prop = jnp.where(take, g, c["g_prop"])
 
             # --- checkpoint store (span starts are even leaf indices) -----
+            # One-hot masked select instead of .at[slot].set: the slot index
+            # is chain-varying, so under vmap (multi-chain) a dynamic-index
+            # update lowers to a scatter — TPU scatters/gathers in the inner
+            # leapfrog loop cost more than the log-density gradient itself.
             slot = _popcount(n)
             is_start = (n % 2) == 0
-            ck_q = jnp.where(is_start, c["ck_q"].at[slot].set(q), c["ck_q"])
-            ck_p = jnp.where(is_start, c["ck_p"].at[slot].set(p), c["ck_p"])
-            ck_psum = jnp.where(is_start, c["ck_psum"].at[slot].set(c["psum"]), c["ck_psum"])
+            wsel = (jnp.logical_and(ck_iota == slot, is_start))[:, None]
+            ck_q = jnp.where(wsel, q[None, :], c["ck_q"])
+            ck_p = jnp.where(wsel, p[None, :], c["ck_p"])
+            ck_psum = jnp.where(wsel, c["psum"][None, :], c["ck_psum"])
 
             psum = c["psum"] + p
 
-            # --- completed-span U-turn checks -----------------------------
-            turning = c["turning"]
+            # --- completed-span U-turn checks, all depths at once ---------
+            # Checkpoint reads become one small matmul: onehots (K, S) @
+            # ck (S, dim) — no chain-varying gathers.
             np1 = n + 1
-            for k in range(1, max_depth + 1):
-                span = jnp.int32(2**k)
-                complete = jnp.logical_and(np1 % span == 0, np1 >= span)
-                a = np1 - span
-                slot_a = _popcount(a)
-                rho_span = psum - ck_psum[slot_a]
-                turn_k = _is_turning(
-                    _vel(inv_mass, ck_p[slot_a]), _vel(inv_mass, p), rho_span
-                )
-                turning = jnp.logical_or(turning, jnp.logical_and(complete, turn_k))
+            complete = jnp.logical_and(np1 % spans == 0, np1 >= spans)  # (K,)
+            slots_a = _popcount(np1 - spans)  # (K,)
+            onehots = (ck_iota[None, :] == slots_a[:, None]).astype(dtype)  # (K, S)
+            C_psum = onehots @ ck_psum  # (K, dim)
+            C_p = onehots @ ck_p  # (K, dim)
+            rho_span = psum[None, :] - C_psum  # (K, dim)
+            if inv_mass.ndim == 1:
+                v_left = C_p * inv_mass[None, :]
+            else:
+                v_left = C_p @ inv_mass
+            v_cur = _vel(inv_mass, p)
+            turn_k = jnp.logical_or(
+                jnp.sum(v_left * rho_span, axis=-1) <= 0.0,
+                rho_span @ v_cur <= 0.0,
+            )
+            turning = jnp.logical_or(
+                c["turning"], jnp.any(jnp.logical_and(complete, turn_k))
+            )
 
             return dict(
                 n=np1,
