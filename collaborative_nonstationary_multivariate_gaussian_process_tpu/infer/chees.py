@@ -1,0 +1,301 @@
+"""ChEES-HMC: jittered fixed-length HMC with cross-chain adaptation.
+
+The accelerator-native alternative to NUTS (Hoffman, Radul & Sountsov 2021,
+"An Adaptive-MCMC Scheme for Setting Trajectory Lengths in Hamiltonian Monte
+Carlo").  Where NUTS builds a per-chain dynamic tree — so vmapped chains run
+in lockstep at the DEEPEST chain's tree each draw and the trajectory machinery
+branches heavily — ChEES runs every chain for the SAME number of leapfrog
+steps each iteration and adapts that shared trajectory length from
+cross-chain statistics:
+
+  - trajectory length t_i = h_i * T, with h_i a Halton-sequence jitter
+    shared by all chains (quasi-random; breaks resonances);
+  - T maximizes the ChEES criterion E[(‖q' - E q'‖² - ‖q - E q‖²)²] by
+    Adam on log T, with the gradient estimated from the chains themselves;
+  - step size: dual averaging on the cross-chain mean acceptance
+    (optimal target 0.651 for fixed-length HMC);
+  - diagonal mass matrix: pooled cross-chain variance of warmup draws.
+
+Every cross-chain reduction goes through a single `_cmean` hook: `jnp.mean`
+over the chain axis on one device, composed with `lax.pmean(axis_name)` when
+the chain axis is sharded over a mesh (parallel/sharded_mcmc.py) — the
+TPU-native design from SURVEY.md §5.8 where adaptation statistics ride ICI
+collectives.
+
+The reference repo has no sampler at all (SURVEY.md §0, §2.4); this module
+and infer/{hmc,nuts,smc}.py are the new-framework deliverables over the
+logdensities library.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hmc import DualAveragingState, da_init, da_update
+
+__all__ = ["CheesState", "run_chees", "halton_sequence"]
+
+
+def halton_sequence(n: int) -> np.ndarray:
+    """First n points of the base-2 Halton (van der Corput) sequence in
+    (0, 1): bit-reversed binary fractions — the standard quasi-random
+    trajectory jitter for ChEES."""
+    out = np.zeros(n)
+    for i in range(n):
+        f, r, k = 0.5, 0.0, i + 1
+        while k > 0:
+            r += f * (k & 1)
+            k >>= 1
+            f *= 0.5
+        out[i] = r
+    return out
+
+
+class CheesState(NamedTuple):
+    position: jax.Array  # (C, dim)
+    log_prob: jax.Array  # (C,)
+    grad: jax.Array  # (C, dim)
+
+
+class _AdamState(NamedTuple):
+    m: jax.Array
+    v: jax.Array
+    step: jax.Array
+
+
+def _adam_update(s: _AdamState, g, lr=0.025, b1=0.9, b2=0.999, eps=1e-8):
+    step = s.step + 1.0
+    m = b1 * s.m + (1.0 - b1) * g
+    v = b2 * s.v + (1.0 - b2) * g * g
+    mhat = m / (1.0 - b1**step)
+    vhat = v / (1.0 - b2**step)
+    return _AdamState(m, v, step), lr * mhat / (jnp.sqrt(vhat) + eps)
+
+
+def _chees_kernel(
+    log_prob_fn,
+    state: CheesState,
+    key,
+    eps,
+    traj_len,
+    inv_mass,
+    max_num_steps,
+    cmean,
+):
+    """One joint transition of all chains: `n = ceil(traj_len/eps)` leapfrog
+    steps (a shared scalar — chains never diverge), per-chain MH correction,
+    and the cross-chain ChEES gradient for the trajectory-length adaptation.
+    """
+    C, dim = state.position.shape
+    dtype = state.position.dtype
+    k_mom, k_acc = jax.random.split(key)
+
+    sd = jnp.sqrt(1.0 / inv_mass)
+    # the +0*position tie keeps the while_loop carry's varying-axis type
+    # consistent under shard_map (noise from a replicated key is otherwise
+    # typed replicated; see the same idiom in infer/nuts.py)
+    p0 = sd[None, :] * jax.random.normal(k_mom, (C, dim), dtype) + 0.0 * state.position
+
+    num_steps = jnp.clip(
+        jnp.ceil(traj_len / eps).astype(jnp.int32), 1, max_num_steps
+    )
+
+    grad_all = jax.vmap(jax.value_and_grad(log_prob_fn))
+
+    def body(carry):
+        i, q, p, g, lp = carry
+        p_half = p + 0.5 * eps * g
+        q = q + eps * (inv_mass[None, :] * p_half)
+        lp, g = grad_all(q)
+        p = p_half + 0.5 * eps * g
+        return (i + 1, q, p, g, lp)
+
+    def cond(carry):
+        return carry[0] < num_steps
+
+    zero_i = jnp.int32(0)
+    _, q1, p1, g1, lp1 = jax.lax.while_loop(
+        cond, body, (zero_i, state.position, p0, state.grad, state.log_prob)
+    )
+
+    ke0 = 0.5 * jnp.sum(inv_mass[None, :] * p0**2, axis=-1)
+    ke1 = 0.5 * jnp.sum(inv_mass[None, :] * p1**2, axis=-1)
+    log_ratio = (lp1 - ke1) - (state.log_prob - ke0)
+    log_ratio = jnp.where(jnp.isfinite(log_ratio), log_ratio, -jnp.inf)
+    accept_prob = jnp.minimum(1.0, jnp.exp(log_ratio))
+    accept = (
+        jax.random.uniform(k_acc, (C,), dtype=dtype) < accept_prob
+    )
+
+    new_state = CheesState(
+        position=jnp.where(accept[:, None], q1, state.position),
+        log_prob=jnp.where(accept, lp1, state.log_prob),
+        grad=jnp.where(accept[:, None], g1, state.grad),
+    )
+
+    # --- ChEES criterion gradient wrt the trajectory length ---------------
+    # d/dt E[(‖q'-q̄'‖² - ‖q-q̄‖²)²] ∝ E[(‖dq'‖² - ‖dq‖²) · dq'ᵀ v'], with the
+    # expectation estimated across chains weighted by acceptance.
+    dq1 = q1 - cmean(q1)[None, :]
+    dq0 = state.position - cmean(state.position)[None, :]
+    v1 = inv_mass[None, :] * p1
+    per_chain = (
+        jnp.sum(dq1 * dq1, -1) - jnp.sum(dq0 * dq0, -1)
+    ) * jnp.sum(dq1 * v1, -1)
+    w = jnp.where(jnp.isfinite(per_chain), accept_prob, 0.0)
+    per_chain = jnp.where(jnp.isfinite(per_chain), per_chain, 0.0)
+    chees_grad_t = cmean(w * per_chain) / jnp.maximum(cmean(w), 1e-10)
+
+    mean_accept = cmean(accept_prob)
+    return new_state, accept_prob, mean_accept, chees_grad_t, num_steps
+
+
+def run_chees(
+    log_prob_fn: Callable,
+    init_positions,
+    key,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    target_accept: float = 0.651,
+    init_step_size: float = 0.1,
+    init_traj_length: Optional[float] = None,
+    max_num_steps: int = 1024,
+    adam_lr: float = 0.025,
+    mass_adapt: bool = True,
+    axis_name: Optional[str] = None,
+):
+    """ChEES-HMC over jointly-updated chains.
+
+    init_positions: (C, dim) — the kernel is inherently multi-chain (the
+    adaptation statistics are cross-chain expectations).  With
+    `axis_name`, cross-chain reductions compose `pmean` over that mesh
+    axis, so the same function runs chain-sharded under `shard_map`
+    (a local (C_local, dim) block per device).
+
+    Returns (positions (num_samples, C, dim), info dict).
+    """
+    dtype = init_positions.dtype
+    C, dim = init_positions.shape
+
+    if axis_name is None:
+        def cmean(x):
+            return jnp.mean(x, axis=0)
+    else:
+        def cmean(x):
+            return jax.lax.pmean(jnp.mean(x, axis=0), axis_name)
+
+        # distinct noise per shard (a replicated key would duplicate the
+        # momentum draws on every device); adaptation stays consistent
+        # because every cross-chain statistic goes through pmean
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+    lp0, g0 = jax.vmap(jax.value_and_grad(log_prob_fn))(init_positions)
+    state = CheesState(init_positions, lp0, g0)
+    inv_mass0 = jnp.ones(dim, dtype)
+
+    if init_traj_length is None:
+        init_traj_length = float(init_step_size)
+
+    total = num_warmup + num_samples
+    n_re = max(num_warmup // 4, 1)
+    halton = jnp.asarray(halton_sequence(total + n_re), dtype)
+
+    def make_phase(adapt: bool):
+        def phase_body(carry, inp):
+            st, da, adam, log_T, inv_mass, s1, s2, cnt = carry
+            h, k, in_window = inp
+            eps = jnp.exp(da.log_eps)
+            traj = h * jnp.exp(log_T)
+            st, aps, mean_acc, chees_g, nsteps = _chees_kernel(
+                log_prob_fn, st, k, eps, traj, inv_mass, max_num_steps, cmean
+            )
+            if adapt:
+                da = da_update(da, mean_acc, target_accept)
+                # chain rule through t = h e^{logT}: dt/dlogT = t
+                adam, delta = _adam_update(adam, -chees_g * traj, lr=adam_lr)
+                log_T = log_T - delta  # Adam minimizes; flip for ascent
+                # keep the trajectory reachable under the step-size cap
+                log_T = jnp.clip(
+                    log_T,
+                    da.log_eps - 2.0,
+                    da.log_eps + jnp.log(float(max_num_steps)),
+                )
+                s1 = s1 + jnp.where(in_window, jnp.sum(st.position, 0), 0.0)
+                s2 = s2 + jnp.where(in_window, jnp.sum(st.position**2, 0), 0.0)
+                cnt = cnt + jnp.where(in_window, float(C), 0.0)
+            return (st, da, adam, log_T, inv_mass, s1, s2, cnt), (
+                st.position,
+                aps,
+                st.log_prob,
+                nsteps,
+            )
+
+        return phase_body
+
+    # ---- phase 1: joint adaptation under unit mass ------------------------
+    k_warm, k_re, k_main = jax.random.split(key, 3)
+    da = da_init(jnp.asarray(init_step_size, dtype))
+    adam = _AdamState(
+        m=jnp.zeros((), dtype), v=jnp.zeros((), dtype), step=jnp.zeros((), dtype)
+    )
+    log_T = jnp.log(jnp.asarray(init_traj_length, dtype))
+    # tied to the chain state: the Welford sums are shard-varying under
+    # shard_map and the scan carry type must reflect that from iteration 0
+    zeros_d = 0.0 * state.position[0]
+    zero_c = 0.0 * state.log_prob[0]
+    carry = (state, da, adam, log_T, inv_mass0, zeros_d, zeros_d, zero_c)
+    half = num_warmup // 2
+    in_w = jnp.arange(num_warmup) >= half
+    keys = jax.random.split(k_warm, num_warmup)
+    carry, (warm_pos, warm_aps, _, _) = jax.lax.scan(
+        make_phase(True), carry, (halton[:num_warmup], keys, in_w)
+    )
+    state, da, adam, log_T, _, s1, s2, cnt = carry
+
+    # ---- mass matrix from pooled cross-chain warmup variance --------------
+    if mass_adapt and num_warmup > 10:
+        s1 = cmean(s1[None]) if axis_name else s1  # pool shards
+        s2 = cmean(s2[None]) if axis_name else s2
+        cntp = cmean(cnt[None]) if axis_name else cnt
+        mean = s1 / jnp.maximum(cntp, 1.0)
+        var = s2 / jnp.maximum(cntp, 1.0) - mean**2
+        inv_mass = jnp.where(var > 1e-10, var, 1.0)
+    else:
+        inv_mass = inv_mass0
+
+    # ---- phase 2: short re-adaptation under the new metric ----------------
+    da = da_init(jnp.exp(da.log_eps_bar))
+    keys = jax.random.split(k_re, n_re)
+    carry = (state, da, adam, log_T, inv_mass, zeros_d, zeros_d, zero_c)
+    carry, _ = jax.lax.scan(
+        make_phase(True),
+        carry,
+        (halton[num_warmup : num_warmup + n_re], keys, jnp.zeros(n_re, bool)),
+    )
+    state, da, adam, log_T = carry[0], carry[1], carry[2], carry[3]
+    eps_final = jnp.exp(da.log_eps_bar)
+
+    # ---- phase 3: sampling at fixed (eps, T, mass) ------------------------
+    da_fixed = da_init(eps_final)
+    carry = (state, da_fixed, adam, log_T, inv_mass, zeros_d, zeros_d, zero_c)
+    keys = jax.random.split(k_main, num_samples)
+    carry, (positions, aps, lps, nsteps) = jax.lax.scan(
+        make_phase(False),
+        carry,
+        (halton[num_warmup + n_re :][:num_samples], keys, jnp.zeros(num_samples, bool)),
+    )
+
+    info = {
+        "accept_prob": aps,  # (num_samples, C)
+        "log_prob": lps,
+        "num_steps": nsteps,  # (num_samples,)
+        "step_size": eps_final,
+        "trajectory_length": jnp.exp(log_T),
+        "inv_mass": inv_mass,
+        "warmup_accept_mean": jnp.mean(warm_aps),
+    }
+    return positions, info

@@ -23,7 +23,12 @@ from ..infer import hmc as hmc_mod
 from ..infer import nuts as nuts_mod
 from .mesh import CHAIN_AXIS
 
-__all__ = ["run_nuts_sharded", "run_hmc_sharded", "potential_scale_reduction"]
+__all__ = [
+    "run_nuts_sharded",
+    "run_hmc_sharded",
+    "run_chees_sharded",
+    "potential_scale_reduction",
+]
 
 
 def run_nuts_sharded(
@@ -105,6 +110,74 @@ def run_hmc_sharded(
         out_specs=(spec, spec),
     )
     positions, info = jax.jit(fn)(init_positions, keys)
+    return positions, info
+
+
+def run_chees_sharded(
+    log_prob_fn: Callable,
+    init_positions,  # (num_chains, dim) — num_chains % mesh.chain == 0
+    key,
+    mesh: Mesh,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    target_accept: float = 0.651,
+    init_step_size: float = 0.1,
+    **chees_kwargs,
+):
+    """ChEES-HMC with chains sharded over the mesh chain axis.
+
+    Unlike NUTS/HMC (per-chain kernels vmapped inside each shard), ChEES is
+    a JOINT kernel: every cross-chain adaptation statistic (mean acceptance,
+    ChEES gradient, pooled mass-matrix moments) reduces over the full pod
+    population via `pmean` on the chain axis — the collectives ride ICI.
+    This is the sampler shape that actually *uses* the mesh during
+    adaptation rather than only for throughput.
+
+    Returns positions (num_chains, num_samples, dim) + info (trajectory
+    length / step size replicated-identical across shards by construction).
+    """
+    from ..infer import chees as chees_mod
+
+    num_chains, dim = init_positions.shape
+
+    def block(pos_block, k):
+        pos, info = chees_mod.run_chees(
+            log_prob_fn,
+            pos_block,
+            k,
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            target_accept=target_accept,
+            init_step_size=init_step_size,
+            axis_name=CHAIN_AXIS,
+            **chees_kwargs,
+        )
+        # (S, C_local, dim) -> (C_local, S, dim) to match run_*_sharded
+        info = dict(info)
+        info["warmup_accept_mean"] = jax.lax.pmean(
+            info["warmup_accept_mean"], CHAIN_AXIS
+        )
+        return jnp.swapaxes(pos, 0, 1), info
+
+    spec = P(CHAIN_AXIS)
+    fn = shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(spec, P()),
+        out_specs=(
+            spec,
+            {
+                "accept_prob": P(None, CHAIN_AXIS),
+                "log_prob": P(None, CHAIN_AXIS),
+                "num_steps": P(),
+                "step_size": P(),
+                "trajectory_length": P(),
+                "inv_mass": P(),
+                "warmup_accept_mean": P(),
+            },
+        ),
+    )
+    positions, info = jax.jit(fn)(init_positions, key)
     return positions, info
 
 

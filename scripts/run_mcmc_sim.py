@@ -38,7 +38,7 @@ def main():
     p.add_argument("--warmup", type=int, default=400)
     p.add_argument("--samples", type=int, default=400)
     p.add_argument("--max-depth", type=int, default=8)
-    p.add_argument("--sampler", choices=["nuts", "hmc"], default="nuts")
+    p.add_argument("--sampler", choices=["nuts", "hmc", "chees"], default="nuts")
     p.add_argument("--dense-mass", action="store_true",
                    help="adapt a dense mass matrix during NUTS warmup")
     p.add_argument("--centered", action="store_true",
@@ -61,6 +61,9 @@ def main():
     )
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.hmc import (
         run_hmc,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.chees import (
+        run_chees,
     )
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import (
         logdensities as ld,
@@ -147,15 +150,26 @@ def main():
     )
     keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), args.chains)
 
-    runner = run_nuts if args.sampler == "nuts" else run_hmc
-    kwargs = (
-        dict(num_warmup=args.warmup, num_samples=args.samples,
-             max_depth=args.max_depth, dense_mass=args.dense_mass)
-        if args.sampler == "nuts"
-        else dict(num_warmup=args.warmup, num_samples=args.samples, num_steps=32)
-    )
+    if args.sampler == "chees":
+        # ChEES is inherently joint over chains (cross-chain adaptation) —
+        # no vmap; draws come back (S, C, dim) and are transposed to match
+        kwargs = dict(num_warmup=args.warmup, num_samples=args.samples)
 
-    sampler = jax.jit(jax.vmap(lambda q, k: runner(lp, q, k, **kwargs)))
+        def sampler(inits, ks):
+            pos, info = jax.jit(
+                lambda q, k: run_chees(lp, q, k, **kwargs)
+            )(inits, ks[0])
+            return jnp.swapaxes(pos, 0, 1), info
+    else:
+        runner = run_nuts if args.sampler == "nuts" else run_hmc
+        kwargs = (
+            dict(num_warmup=args.warmup, num_samples=args.samples,
+                 max_depth=args.max_depth, dense_mass=args.dense_mass)
+            if args.sampler == "nuts"
+            else dict(num_warmup=args.warmup, num_samples=args.samples, num_steps=32)
+        )
+
+        sampler = jax.jit(jax.vmap(lambda q, k: runner(lp, q, k, **kwargs)))
     t0 = time.time()
     samples, info = sampler(inits, keys)
     samples = np.asarray(samples)  # (chains, S, dim)

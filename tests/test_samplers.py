@@ -165,3 +165,79 @@ def test_nuts_dense_mass_on_correlated_gaussian():
     steps_dense = float(np.mean(np.asarray(i_dense["num_steps"])))
     steps_diag = float(np.mean(np.asarray(i_diag["num_steps"])))
     assert steps_dense < 0.5 * steps_diag, (steps_dense, steps_diag)
+
+
+def test_chees_gaussian_moments():
+    """ChEES-HMC recovers the moments of a correlated Gaussian and adapts
+    acceptance toward its 0.651 target."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.chees import (
+        run_chees,
+    )
+
+    C = 8
+    init = jnp.asarray(RNG.standard_normal((C, DIM)))
+    positions, info = jax.jit(
+        lambda i, k: run_chees(
+            gauss_lp, i, k, num_warmup=400, num_samples=600, init_step_size=0.5
+        )
+    )(init, jax.random.PRNGKey(7))
+    samples = np.asarray(positions).reshape(-1, DIM)
+    _check_moments(samples, mean_tol=0.35, cov_tol=0.25)
+    acc = float(np.mean(np.asarray(info["accept_prob"])))
+    assert 0.4 < acc < 0.95, acc
+    # adapted trajectory length should exceed a single step
+    assert float(info["trajectory_length"]) > float(info["step_size"])
+
+
+def test_chees_halton_sequence():
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.chees import (
+        halton_sequence,
+    )
+
+    h = halton_sequence(8)
+    np.testing.assert_allclose(
+        h, [0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875, 0.0625]
+    )
+
+
+def test_chees_sharded_moments_and_consistency():
+    """Chain-sharded ChEES (axis_name/pmean reductions, distinct per-shard
+    noise): correct moments, and the adapted trajectory length is a single
+    replicated value (i.e. every shard saw the same cross-chain stats)."""
+    from functools import partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.chees import (
+        run_chees,
+    )
+
+    ndev = len(jax.devices())
+    C = 2 * ndev
+    init = jnp.asarray(RNG.standard_normal((C, DIM)))
+    key = jax.random.PRNGKey(3)
+    mesh = Mesh(np.array(jax.devices()), ("chain",))
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("chain"), P()),
+        out_specs=(P(None, "chain"), P("chain")),
+    )
+    def sharded(i, k):
+        pos, info = run_chees(
+            gauss_lp, i, k, num_warmup=300, num_samples=400,
+            init_step_size=0.5, axis_name="chain",
+        )
+        return pos, info["trajectory_length"][None]
+
+    pos, traj = sharded(init, key)
+    samples = np.asarray(pos).reshape(-1, DIM)
+    _check_moments(samples, mean_tol=0.4, cov_tol=0.3)
+    # per-shard adapted trajectory lengths must agree exactly (pmean'd stats)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(traj)[0], rtol=0)
+    # distinct per-shard noise: shards must NOT produce identical chains
+    p = np.asarray(pos)  # (S, C, DIM), chains grouped by shard
+    assert not np.allclose(p[:, 0], p[:, 2])
