@@ -36,6 +36,7 @@ def main():
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--samples", type=int, default=100)
     p.add_argument("--out", default=None)
+    p.add_argument("--sampler", choices=["nuts", "chees"], default="nuts")
     args = p.parse_args()
 
     import jax
@@ -48,6 +49,7 @@ def main():
         make_mesh,
     )
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.sharded_mcmc import (
+        run_chees_sharded,
         run_nuts_sharded,
     )
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.sim import (
@@ -74,19 +76,24 @@ def main():
         mesh = make_mesh(data=1, chain=nd)
         n_chains = nd * args.chains_per_device
         init = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (n_chains, dim))
+        def go(seed):
+            if args.sampler == "chees":
+                return run_chees_sharded(
+                    lp, init, jax.random.PRNGKey(seed), mesh,
+                    num_warmup=args.warmup, num_samples=args.samples,
+                )
+            return run_nuts_sharded(
+                lp, init, jax.random.PRNGKey(seed), mesh,
+                num_warmup=args.warmup, num_samples=args.samples, max_depth=7,
+            )
+
         # compile + run once (warm), then time
         t0 = time.time()
-        pos, info = run_nuts_sharded(
-            lp, init, jax.random.PRNGKey(1), mesh,
-            num_warmup=args.warmup, num_samples=args.samples, max_depth=7,
-        )
+        pos, info = go(1)
         float(np.asarray(pos)[0, 0, 0])
         compile_and_run = time.time() - t0
         t0 = time.time()
-        pos, info = run_nuts_sharded(
-            lp, init, jax.random.PRNGKey(2), mesh,
-            num_warmup=args.warmup, num_samples=args.samples, max_depth=7,
-        )
+        pos, info = go(2)
         float(np.asarray(pos)[0, 0, 0])
         dt = time.time() - t0
         total_draws = n_chains * args.samples
@@ -95,7 +102,7 @@ def main():
             base_rate = rate / nd  # per-device baseline at 1 device
         eff = rate / (nd * base_rate)
         results.append(
-            dict(devices=nd, chains=n_chains, draws=total_draws, wall_s=dt,
+            dict(sampler=args.sampler, devices=nd, chains=n_chains, draws=total_draws, wall_s=dt,
                  samples_per_s=rate, efficiency=eff,
                  first_call_s=compile_and_run)
         )
