@@ -2,13 +2,18 @@
 
 Replaces the reference's `torch.save({'epoch', 'model_state_dict',
 'optimizer_state_dict', 'loss'}, PATH)` + `torch.load` resume
-(/root/reference/code/nmgp_dsvi.py:789-792,893-899) with an
-Orbax-compatible flat-numpy representation (msgpack-free, pickle-based for
-portability; swap `BACKEND = "orbax"` for production pod runs).
+(/root/reference/code/nmgp_dsvi.py:789-792,893-899).
+
+Two backends:
+  - "pickle" (default): one flat-numpy file — fast, portable, single-host.
+  - "orbax": `orbax.checkpoint` directory checkpoints — atomic writes and
+    multi-host/pod-safe restore (each host writes its process-local shards);
+    the production path for distributed training.
 """
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Any, Tuple
 
@@ -36,7 +41,25 @@ def load_pytree(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, blob["leaves"])
 
 
-def save_train_state(path: str, params, opt_state, epoch: int = 0, loss: float = 0.0):
+def save_train_state(
+    path: str, params, opt_state, epoch: int = 0, loss: float = 0.0,
+    backend: str = "pickle",
+):
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(
+            os.path.abspath(path),
+            {
+                "epoch": np.asarray(epoch),
+                "loss": np.asarray(loss),
+                "params": _to_numpy_tree(params),
+                "opt_state": _to_numpy_tree(opt_state),
+            },
+            force=True,
+        )
+        return
     state = {
         "epoch": epoch,
         "loss": loss,
@@ -47,7 +70,31 @@ def save_train_state(path: str, params, opt_state, epoch: int = 0, loss: float =
         pickle.dump(state, f)
 
 
-def load_train_state(path: str, params_like, opt_state_like) -> Tuple[Any, Any]:
+def load_train_state(
+    path: str, params_like, opt_state_like, backend: str = "pickle"
+) -> Tuple[Any, Any]:
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        state = ckptr.restore(
+            os.path.abspath(path),
+            item={
+                "epoch": np.asarray(0),
+                "loss": np.asarray(0.0),
+                "params": _to_numpy_tree(params_like),
+                "opt_state": _to_numpy_tree(opt_state_like),
+            },
+        )
+        p_def = jax.tree_util.tree_structure(params_like)
+        o_def = jax.tree_util.tree_structure(opt_state_like)
+        params = jax.tree_util.tree_unflatten(
+            p_def, jax.tree_util.tree_leaves(state["params"])
+        )
+        opt_state = jax.tree_util.tree_unflatten(
+            o_def, jax.tree_util.tree_leaves(state["opt_state"])
+        )
+        return params, opt_state
     with open(path, "rb") as f:
         state = pickle.load(f)
     p_def = jax.tree_util.tree_structure(params_like)

@@ -72,3 +72,33 @@ def test_pre_estimation_partial_recovers_scales():
     assert mu_W.shape == (3, 5)
     assert sqrt_U.shape == (3, 3, 5, 5)
     np.testing.assert_allclose(sqrt_v, np.eye(5) * 1e-2)
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    """Orbax directory checkpoints round-trip the train state (the
+    multi-host-safe production backend; pickle remains the default)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import (
+        cnmgp,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils import (
+        checkpoint as ckpt,
+    )
+
+    params = cnmgp.init_params(jax.random.PRNGKey(0), 2, 4, dtype=jnp.float32)
+    opt = optax.adam(1e-2)
+    ost = opt.init(params)
+    path = str(tmp_path / "ckpt_orbax")
+    ckpt.save_train_state(path, params, ost, epoch=7, loss=1.5, backend="orbax")
+
+    params2 = cnmgp.init_params(jax.random.PRNGKey(1), 2, 4, dtype=jnp.float32)
+    ost2 = opt.init(params2)
+    p3, o3 = ckpt.load_train_state(path, params2, ost2, backend="orbax")
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(ost), jax.tree_util.tree_leaves(o3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
