@@ -37,7 +37,14 @@ import numpy as np
 
 from .hmc import DualAveragingState, da_init, da_update
 
-__all__ = ["CheesState", "run_chees", "halton_sequence"]
+__all__ = [
+    "CheesState",
+    "CheesTuning",
+    "run_chees",
+    "chees_warmup",
+    "chees_sample",
+    "halton_sequence",
+]
 
 
 def halton_sequence(n: int) -> np.ndarray:
@@ -59,6 +66,16 @@ class CheesState(NamedTuple):
     position: jax.Array  # (C, dim)
     log_prob: jax.Array  # (C,)
     grad: jax.Array  # (C, dim)
+
+
+class CheesTuning(NamedTuple):
+    """Adapted sampler constants — returned by `chees_warmup`, consumed by
+    `chees_sample`.  A plain pytree: checkpoint it with utils.checkpoint to
+    resume sampling across processes."""
+
+    step_size: jax.Array  # ()
+    log_traj_length: jax.Array  # ()
+    inv_mass: jax.Array  # (dim,)
 
 
 class _AdamState(NamedTuple):
@@ -154,12 +171,63 @@ def _chees_kernel(
     return new_state, accept_prob, mean_accept, chees_grad_t, num_steps
 
 
-def run_chees(
+def _make_cmean(axis_name):
+    if axis_name is None:
+        def cmean(x):
+            return jnp.mean(x, axis=0)
+    else:
+        def cmean(x):
+            return jax.lax.pmean(jnp.mean(x, axis=0), axis_name)
+    return cmean
+
+
+def _fold_shard_key(key, axis_name):
+    """Distinct noise per shard (a replicated key would duplicate the
+    momentum draws on every device); adaptation stays consistent because
+    every cross-chain statistic goes through pmean."""
+    if axis_name is None:
+        return key
+    return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+
+
+def _make_phase(log_prob_fn, cmean, max_num_steps, target_accept, adam_lr, adapt, C):
+    def phase_body(carry, inp):
+        st, da, adam, log_T, inv_mass, s1, s2, cnt = carry
+        h, k, in_window = inp
+        eps = jnp.exp(da.log_eps)
+        traj = h * jnp.exp(log_T)
+        st, aps, mean_acc, chees_g, nsteps = _chees_kernel(
+            log_prob_fn, st, k, eps, traj, inv_mass, max_num_steps, cmean
+        )
+        if adapt:
+            da = da_update(da, mean_acc, target_accept)
+            # chain rule through t = h e^{logT}: dt/dlogT = t
+            adam, delta = _adam_update(adam, -chees_g * traj, lr=adam_lr)
+            log_T = log_T - delta  # Adam minimizes; flip for ascent
+            # keep the trajectory reachable under the step-size cap
+            log_T = jnp.clip(
+                log_T,
+                da.log_eps - 2.0,
+                da.log_eps + jnp.log(float(max_num_steps)),
+            )
+            s1 = s1 + jnp.where(in_window, jnp.sum(st.position, 0), 0.0)
+            s2 = s2 + jnp.where(in_window, jnp.sum(st.position**2, 0), 0.0)
+            cnt = cnt + jnp.where(in_window, float(C), 0.0)
+        return (st, da, adam, log_T, inv_mass, s1, s2, cnt), (
+            st.position,
+            aps,
+            st.log_prob,
+            nsteps,
+        )
+
+    return phase_body
+
+
+def chees_warmup(
     log_prob_fn: Callable,
     init_positions,
     key,
     num_warmup: int = 500,
-    num_samples: int = 1000,
     target_accept: float = 0.651,
     init_step_size: float = 0.1,
     init_traj_length: Optional[float] = None,
@@ -168,76 +236,27 @@ def run_chees(
     mass_adapt: bool = True,
     axis_name: Optional[str] = None,
 ):
-    """ChEES-HMC over jointly-updated chains.
+    """Adaptation phases only.  Returns (CheesState, CheesTuning, info).
 
-    init_positions: (C, dim) — the kernel is inherently multi-chain (the
-    adaptation statistics are cross-chain expectations).  With
-    `axis_name`, cross-chain reductions compose `pmean` over that mesh
-    axis, so the same function runs chain-sharded under `shard_map`
-    (a local (C_local, dim) block per device).
-
-    Returns (positions (num_samples, C, dim), info dict).
+    Separated from sampling so drivers can bound the length of any single
+    XLA dispatch (long single dispatches have crashed remote TPU workers),
+    checkpoint the tuned constants, and stream draws with `chees_sample`.
     """
     dtype = init_positions.dtype
     C, dim = init_positions.shape
-
-    if axis_name is None:
-        def cmean(x):
-            return jnp.mean(x, axis=0)
-    else:
-        def cmean(x):
-            return jax.lax.pmean(jnp.mean(x, axis=0), axis_name)
-
-        # distinct noise per shard (a replicated key would duplicate the
-        # momentum draws on every device); adaptation stays consistent
-        # because every cross-chain statistic goes through pmean
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    cmean = _make_cmean(axis_name)
+    key = _fold_shard_key(key, axis_name)
 
     lp0, g0 = jax.vmap(jax.value_and_grad(log_prob_fn))(init_positions)
     state = CheesState(init_positions, lp0, g0)
     inv_mass0 = jnp.ones(dim, dtype)
-
     if init_traj_length is None:
         init_traj_length = float(init_step_size)
 
-    total = num_warmup + num_samples
     n_re = max(num_warmup // 4, 1)
-    halton = jnp.asarray(halton_sequence(total + n_re), dtype)
+    halton = jnp.asarray(halton_sequence(num_warmup + n_re), dtype)
 
-    def make_phase(adapt: bool):
-        def phase_body(carry, inp):
-            st, da, adam, log_T, inv_mass, s1, s2, cnt = carry
-            h, k, in_window = inp
-            eps = jnp.exp(da.log_eps)
-            traj = h * jnp.exp(log_T)
-            st, aps, mean_acc, chees_g, nsteps = _chees_kernel(
-                log_prob_fn, st, k, eps, traj, inv_mass, max_num_steps, cmean
-            )
-            if adapt:
-                da = da_update(da, mean_acc, target_accept)
-                # chain rule through t = h e^{logT}: dt/dlogT = t
-                adam, delta = _adam_update(adam, -chees_g * traj, lr=adam_lr)
-                log_T = log_T - delta  # Adam minimizes; flip for ascent
-                # keep the trajectory reachable under the step-size cap
-                log_T = jnp.clip(
-                    log_T,
-                    da.log_eps - 2.0,
-                    da.log_eps + jnp.log(float(max_num_steps)),
-                )
-                s1 = s1 + jnp.where(in_window, jnp.sum(st.position, 0), 0.0)
-                s2 = s2 + jnp.where(in_window, jnp.sum(st.position**2, 0), 0.0)
-                cnt = cnt + jnp.where(in_window, float(C), 0.0)
-            return (st, da, adam, log_T, inv_mass, s1, s2, cnt), (
-                st.position,
-                aps,
-                st.log_prob,
-                nsteps,
-            )
-
-        return phase_body
-
-    # ---- phase 1: joint adaptation under unit mass ------------------------
-    k_warm, k_re, k_main = jax.random.split(key, 3)
+    k_warm, k_re = jax.random.split(key)
     da = da_init(jnp.asarray(init_step_size, dtype))
     adam = _AdamState(
         m=jnp.zeros((), dtype), v=jnp.zeros((), dtype), step=jnp.zeros((), dtype)
@@ -247,12 +266,17 @@ def run_chees(
     # shard_map and the scan carry type must reflect that from iteration 0
     zeros_d = 0.0 * state.position[0]
     zero_c = 0.0 * state.log_prob[0]
+
+    # ---- phase 1: joint adaptation under unit mass ------------------------
+    phase_adapt = _make_phase(
+        log_prob_fn, cmean, max_num_steps, target_accept, adam_lr, True, C
+    )
     carry = (state, da, adam, log_T, inv_mass0, zeros_d, zeros_d, zero_c)
     half = num_warmup // 2
     in_w = jnp.arange(num_warmup) >= half
     keys = jax.random.split(k_warm, num_warmup)
-    carry, (warm_pos, warm_aps, _, _) = jax.lax.scan(
-        make_phase(True), carry, (halton[:num_warmup], keys, in_w)
+    carry, (_, warm_aps, _, _) = jax.lax.scan(
+        phase_adapt, carry, (halton[:num_warmup], keys, in_w)
     )
     state, da, adam, log_T, _, s1, s2, cnt = carry
 
@@ -272,30 +296,117 @@ def run_chees(
     keys = jax.random.split(k_re, n_re)
     carry = (state, da, adam, log_T, inv_mass, zeros_d, zeros_d, zero_c)
     carry, _ = jax.lax.scan(
-        make_phase(True),
+        phase_adapt,
         carry,
-        (halton[num_warmup : num_warmup + n_re], keys, jnp.zeros(n_re, bool)),
+        (halton[num_warmup:], keys, jnp.zeros(n_re, bool)),
     )
-    state, da, adam, log_T = carry[0], carry[1], carry[2], carry[3]
-    eps_final = jnp.exp(da.log_eps_bar)
+    state, da, log_T = carry[0], carry[1], carry[3]
+    tuning = CheesTuning(
+        step_size=jnp.exp(da.log_eps_bar),
+        log_traj_length=log_T,
+        inv_mass=inv_mass,
+    )
+    info = {"warmup_accept_mean": jnp.mean(warm_aps), "halton_offset": num_warmup + n_re}
+    return state, tuning, info
 
-    # ---- phase 3: sampling at fixed (eps, T, mass) ------------------------
-    da_fixed = da_init(eps_final)
-    carry = (state, da_fixed, adam, log_T, inv_mass, zeros_d, zeros_d, zero_c)
-    keys = jax.random.split(k_main, num_samples)
+
+def chees_sample(
+    log_prob_fn: Callable,
+    state: CheesState,
+    tuning: CheesTuning,
+    key,
+    num_samples: int,
+    halton_offset: int = 0,
+    max_num_steps: int = 1024,
+    axis_name: Optional[str] = None,
+):
+    """Draw `num_samples` at fixed tuning, resuming the Halton jitter at
+    `halton_offset`.  Returns (state, positions (S, C, dim), info).
+
+    Call repeatedly with advancing offsets (and fresh keys) to stream draws
+    in bounded dispatches; the state/tuning pytrees checkpoint directly.
+    """
+    dtype = state.position.dtype
+    C = state.position.shape[0]
+    cmean = _make_cmean(axis_name)
+    key = _fold_shard_key(key, axis_name)
+
+    halton = jnp.asarray(
+        halton_sequence(halton_offset + num_samples)[halton_offset:], dtype
+    )
+    phase_fixed = _make_phase(log_prob_fn, cmean, max_num_steps, 0.651, 0.0, False, C)
+    zeros_d = 0.0 * state.position[0]
+    zero_c = 0.0 * state.log_prob[0]
+    da_fixed = da_init(tuning.step_size)
+    adam = _AdamState(
+        m=jnp.zeros((), dtype), v=jnp.zeros((), dtype), step=jnp.zeros((), dtype)
+    )
+    carry = (
+        state, da_fixed, adam, tuning.log_traj_length, tuning.inv_mass,
+        zeros_d, zeros_d, zero_c,
+    )
+    keys = jax.random.split(key, num_samples)
     carry, (positions, aps, lps, nsteps) = jax.lax.scan(
-        make_phase(False),
-        carry,
-        (halton[num_warmup + n_re :][:num_samples], keys, jnp.zeros(num_samples, bool)),
+        phase_fixed, carry, (halton, keys, jnp.zeros(num_samples, bool))
     )
+    info = {"accept_prob": aps, "log_prob": lps, "num_steps": nsteps}
+    return carry[0], positions, info
 
-    info = {
-        "accept_prob": aps,  # (num_samples, C)
-        "log_prob": lps,
-        "num_steps": nsteps,  # (num_samples,)
-        "step_size": eps_final,
-        "trajectory_length": jnp.exp(log_T),
-        "inv_mass": inv_mass,
-        "warmup_accept_mean": jnp.mean(warm_aps),
-    }
+
+def run_chees(
+    log_prob_fn: Callable,
+    init_positions,
+    key,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    target_accept: float = 0.651,
+    init_step_size: float = 0.1,
+    init_traj_length: Optional[float] = None,
+    max_num_steps: int = 1024,
+    adam_lr: float = 0.025,
+    mass_adapt: bool = True,
+    axis_name: Optional[str] = None,
+):
+    """ChEES-HMC over jointly-updated chains (warmup + sampling in one call).
+
+    init_positions: (C, dim) — the kernel is inherently multi-chain (the
+    adaptation statistics are cross-chain expectations).  With
+    `axis_name`, cross-chain reductions compose `pmean` over that mesh
+    axis, so the same function runs chain-sharded under `shard_map`
+    (a local (C_local, dim) block per device).
+
+    For bounded dispatches / streaming / checkpointable sampling, use
+    `chees_warmup` + repeated `chees_sample` instead.
+
+    Returns (positions (num_samples, C, dim), info dict).
+    """
+    k_warm, k_main = jax.random.split(key)
+    state, tuning, winfo = chees_warmup(
+        log_prob_fn,
+        init_positions,
+        k_warm,
+        num_warmup=num_warmup,
+        target_accept=target_accept,
+        init_step_size=init_step_size,
+        init_traj_length=init_traj_length,
+        max_num_steps=max_num_steps,
+        adam_lr=adam_lr,
+        mass_adapt=mass_adapt,
+        axis_name=axis_name,
+    )
+    _, positions, info = chees_sample(
+        log_prob_fn,
+        state,
+        tuning,
+        k_main,
+        num_samples,
+        halton_offset=winfo["halton_offset"],
+        max_num_steps=max_num_steps,
+        axis_name=axis_name,
+    )
+    info = dict(info)
+    info["step_size"] = tuning.step_size
+    info["trajectory_length"] = jnp.exp(tuning.log_traj_length)
+    info["inv_mass"] = tuning.inv_mass
+    info["warmup_accept_mean"] = winfo["warmup_accept_mean"]
     return positions, info

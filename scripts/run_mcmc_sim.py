@@ -145,21 +145,63 @@ def main():
             )
 
     key = jax.random.PRNGKey(args.seed)
-    inits = jnp.asarray(init)[None, :] + 0.01 * jax.random.normal(
-        key, (args.chains, dim)
-    )
+    # ChEES adapts from CROSS-CHAIN variance: near-identical inits degenerate
+    # its criterion early in warmup, so overdisperse (the whitened space is
+    # ~N(0, I), so 0.5 is mild).  Per-chain samplers keep the tight jitter.
+    if args.sampler == "chees" and not args.centered:
+        # overdispersed prior-mean start in the whitened space (eta ~ N(0,I));
+        # ChEES adapts from CROSS-CHAIN variance, which near-identical
+        # empirical-init chains degenerate
+        inits = 0.5 * jax.random.normal(key, (args.chains, dim))
+        inits = inits.at[:, -1].set(jnp.asarray(init)[-1])  # keep s2_err init
+    else:
+        inits = jnp.asarray(init)[None, :] + 0.01 * jax.random.normal(
+            key, (args.chains, dim)
+        )
     keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), args.chains)
 
     if args.sampler == "chees":
         # ChEES is inherently joint over chains (cross-chain adaptation) —
-        # no vmap; draws come back (S, C, dim) and are transposed to match
-        kwargs = dict(num_warmup=args.warmup, num_samples=args.samples)
+        # no vmap; draws stream in bounded dispatches via the
+        # warmup/sample split (long single XLA dispatches have crashed
+        # remote TPU workers), coming back (S, C, dim) per chunk.
+        from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.chees import (
+            chees_sample,
+            chees_warmup,
+        )
+
+        CHUNK = 100
 
         def sampler(inits, ks):
-            pos, info = jax.jit(
-                lambda q, k: run_chees(lp, q, k, **kwargs)
+            st, tuning, winfo = jax.jit(
+                lambda q, k: chees_warmup(lp, q, k, num_warmup=args.warmup)
             )(inits, ks[0])
-            return jnp.swapaxes(pos, 0, 1), info
+            off = int(np.asarray(winfo["halton_offset"]))
+            chunks, infos = [], []
+            draw = jax.jit(
+                lambda s, t, k, n=CHUNK, o=0: chees_sample(
+                    lp, s, t, k, n, halton_offset=o
+                ),
+                static_argnames=("n", "o"),
+            )
+            done = 0
+            kk = ks[0]
+            while done < args.samples:
+                n = min(CHUNK, args.samples - done)
+                kk = jax.random.fold_in(kk, done + 1)
+                st, pos, cinfo = draw(st, tuning, kk, n=n, o=off + done)
+                chunks.append(np.asarray(pos))
+                infos.append(cinfo)
+                done += n
+            pos = np.concatenate(chunks, axis=0)
+            info = {
+                "accept_prob": jnp.concatenate(
+                    [c["accept_prob"] for c in infos], 0
+                ),
+                "step_size": tuning.step_size,
+                "trajectory_length": jnp.exp(tuning.log_traj_length),
+            }
+            return jnp.swapaxes(jnp.asarray(pos), 0, 1), info
     else:
         runner = run_nuts if args.sampler == "nuts" else run_hmc
         kwargs = (

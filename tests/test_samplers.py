@@ -241,3 +241,49 @@ def test_chees_sharded_moments_and_consistency():
     # distinct per-shard noise: shards must NOT produce identical chains
     p = np.asarray(pos)  # (S, C, DIM), chains grouped by shard
     assert not np.allclose(p[:, 0], p[:, 2])
+
+
+def test_chees_streaming_matches_onecall():
+    """chees_warmup + chunked chees_sample is the bounded-dispatch
+    production path; with the same keys/halton offsets it must produce the
+    same tuning and statistically equivalent draws as run_chees."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.chees import (
+        chees_sample,
+        chees_warmup,
+        run_chees,
+    )
+
+    C = 6
+    init = jnp.asarray(RNG.standard_normal((C, DIM)))
+    key = jax.random.PRNGKey(11)
+    k_w, k_m = jax.random.split(key)
+
+    state, tuning, winfo = jax.jit(
+        lambda i, k: chees_warmup(gauss_lp, i, k, num_warmup=300, init_step_size=0.5)
+    )(init, k_w)
+    off = int(np.asarray(winfo["halton_offset"]))  # static for jit
+    # stream two chunks
+    k1, k2 = jax.random.split(k_m)
+    st1, pos1, _ = jax.jit(
+        lambda s, t, k: chees_sample(gauss_lp, s, t, k, 200, halton_offset=off)
+    )(state, tuning, k1)
+    st2, pos2, _ = jax.jit(
+        lambda s, t, k: chees_sample(gauss_lp, s, t, k, 200, halton_offset=off + 200)
+    )(st1, tuning, k2)
+    samples = np.asarray(jnp.concatenate([pos1, pos2], 0)).reshape(-1, DIM)
+    _check_moments(samples, mean_tol=0.45, cov_tol=0.3)
+    # tuning pytree round-trips through the checkpoint layer
+    import tempfile, os
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.checkpoint import (
+        load_pytree,
+        save_pytree,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "tuning.pkl")
+        save_pytree(p, tuning)
+        t2 = load_pytree(p, tuning)
+        np.testing.assert_allclose(
+            float(t2.step_size), float(tuning.step_size)
+        )
