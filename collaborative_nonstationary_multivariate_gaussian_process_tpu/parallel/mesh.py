@@ -18,7 +18,17 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "DATA_AXIS", "CHAIN_AXIS", "shard_batch", "replicate"]
+__all__ = [
+    "make_mesh",
+    "make_pod_mesh",
+    "DATA_AXIS",
+    "CHAIN_AXIS",
+    "shard_batch",
+    "replicate",
+    "initialize_distributed",
+    "process_local_slice",
+    "global_batch_from_local",
+]
 
 DATA_AXIS = "data"
 CHAIN_AXIS = "chain"
@@ -53,3 +63,125 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (pod / multi-slice) support
+# ---------------------------------------------------------------------------
+#
+# SURVEY.md §5.8 / §7.1(6): single program via jax.distributed.initialize
+# across hosts; mesh axes laid out so the heavy "data"/"chain" collectives
+# ride ICI, not DCN; host-local data loading with process_index sharding.
+# The reference has no distributed layer at all — this is new work, written
+# so every code path degrades to a no-op / identity in a single process and
+# is therefore exercised by the CPU fake-mesh test suite.
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> Tuple[int, int]:
+    """Join the multi-host SPMD program; returns (process_index, process_count).
+
+    Thin, idempotent wrapper over `jax.distributed.initialize`:
+      - On TPU pods the runtime discovers coordinator/rank automatically —
+        call with no arguments from every host before first device use.
+      - In a single-process run (tests, one-host dev) initialization is
+        skipped entirely; the return value is (0, 1).
+      - Calling twice is safe (the second call is a no-op).
+    """
+    already = getattr(
+        jax._src.distributed.global_state, "client", None  # noqa: SLF001
+    ) is not None
+    explicit = coordinator_address is not None or num_processes is not None
+    if not already and (explicit or jax.process_count() > 1 or _env_says_multiprocess()):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+            **kwargs,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def _env_says_multiprocess() -> bool:
+    import os
+
+    return any(
+        os.environ.get(v) for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+
+
+def make_pod_mesh(
+    data: Optional[int] = None,
+    chain: int = 1,
+    *,
+    allow_split_physical_axes: bool = False,
+) -> Mesh:
+    """("data", "chain") mesh over ALL processes' devices, ICI-topology-aware.
+
+    Uses `mesh_utils.create_device_mesh`, which permutes devices so that
+    neighboring mesh coordinates are ICI neighbors on TPU (minimizing the
+    hop count of the gradient-psum ring on "data" and the adaptation
+    reductions on "chain").  Works identically on the virtual CPU mesh.
+    """
+    from jax.experimental import mesh_utils
+
+    n = len(jax.devices())
+    if data is None:
+        assert n % chain == 0, (n, chain)
+        data = n // chain
+    assert data * chain == n, (
+        f"pod mesh must use every device: data*chain={data * chain} != {n}; "
+        "use make_mesh(devices=...) for a sub-mesh"
+    )
+    dev_array = mesh_utils.create_device_mesh(
+        (data, chain), allow_split_physical_axes=allow_split_physical_axes
+    )
+    return Mesh(dev_array, (DATA_AXIS, CHAIN_AXIS))
+
+
+def process_local_slice(mesh: Mesh, n_rows: int, axis: str = DATA_AXIS):
+    """(start, size) of the rows THIS process must load for a global array of
+    `n_rows` rows sharded over `axis`.
+
+    Host-local ETL: each host reads only its slice of the dataset from disk
+    (the reference loads everything everywhere — single process).  Rows must
+    divide evenly over the axis (pad upstream; the DSVI weights column makes
+    padded rows exact no-ops in the ELBO).
+    """
+    axis_size = mesh.shape[axis]
+    assert n_rows % axis_size == 0, (n_rows, axis_size)
+    block = n_rows // axis_size
+    # Which axis coordinates live on this process?  Walk the mesh's device
+    # array once — exact for any device permutation create_device_mesh picked.
+    axis_index = list(mesh.axis_names).index(axis)
+    coords_here = sorted(
+        {
+            idx[axis_index]
+            for idx, dev in np.ndenumerate(mesh.devices)
+            if dev.process_index == jax.process_index()
+        }
+    )
+    # contiguous per-process blocks on TPU pods (devices of one host are
+    # adjacent on the data axis by construction)
+    assert coords_here == list(
+        range(coords_here[0], coords_here[0] + len(coords_here))
+    ), f"non-contiguous data-axis coordinates for this process: {coords_here}"
+    return coords_here[0] * block, len(coords_here) * block
+
+
+def global_batch_from_local(mesh: Mesh, tree, axis: str = DATA_AXIS):
+    """Assemble a jax.Array sharded over `axis` from per-process local rows.
+
+    Each process passes ONLY its rows (the `process_local_slice` it loaded);
+    the result is a global array usable by the jitted DP train step with no
+    cross-host data movement.  Single-process: identical to `shard_batch`.
+    """
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        tree,
+    )

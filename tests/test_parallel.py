@@ -23,6 +23,44 @@ def test_make_mesh_shapes():
     assert mesh.shape == {DATA_AXIS: 4, CHAIN_AXIS: 2}
 
 
+def test_initialize_distributed_single_process_noop():
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.mesh import (
+        initialize_distributed,
+    )
+
+    pid, pcount = initialize_distributed()
+    assert (pid, pcount) == (0, 1)
+    # idempotent
+    assert initialize_distributed() == (0, 1)
+
+
+def test_pod_mesh_and_host_local_data_roundtrip():
+    """make_pod_mesh uses every device with an ICI-aware layout; the
+    host-local loading path (process_local_slice + global_batch_from_local)
+    reconstructs exactly the globally-sharded array."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.mesh import (
+        global_batch_from_local,
+        make_pod_mesh,
+        process_local_slice,
+        shard_batch,
+    )
+
+    ndev = len(jax.devices())
+    mesh = make_pod_mesh(chain=2)
+    assert mesh.shape == {DATA_AXIS: ndev // 2, CHAIN_AXIS: 2}
+
+    n_rows = 4 * (ndev // 2)
+    x = np.arange(n_rows * 3, dtype=np.float64).reshape(n_rows, 3)
+    start, size = process_local_slice(mesh, n_rows)
+    # single process owns every data coordinate
+    assert (start, size) == (0, n_rows)
+    g = global_batch_from_local(mesh, {"x": x[start : start + size]})["x"]
+    assert g.shape == (n_rows, 3)
+    assert g.sharding.spec == P(DATA_AXIS)
+    ref = shard_batch(mesh, {"x": jnp.asarray(x)})["x"]
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(ref))
+
+
 def test_chain_sharded_hmc_runs_and_matches_target():
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.sharded_mcmc import (
         run_hmc_sharded,

@@ -207,7 +207,7 @@ def test_chees_sharded_moments_and_consistency():
     from functools import partial
 
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.chees import (
         run_chees,
