@@ -27,7 +27,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gibbs_pallas", "rbf_pallas", "kron_mv_pallas", "cholesky_pallas"]
+__all__ = [
+    "gibbs_pallas",
+    "rbf_pallas",
+    "kron_mv_pallas",
+    "cholesky_pallas",
+    "chol_inv_pallas",
+]
 
 _TILE = 128
 
@@ -295,6 +301,97 @@ def _chol_forward(A, interpret=False):
         interpret=interpret,
     )(Ap)
     return out[:, :m, :m].reshape(batch_shape + (m, m))
+
+
+def _chol_inv_kernel_body(a_ref, l_ref, linv_ref):
+    """Fused (L, L^{-1}) of one (Mp, Mp) SPD tile, fully in VMEM.
+
+    The right-looking column sweep of `_chol_kernel_body` interleaved with
+    forward substitution: once column j of L is final, row j of L is also
+    final (columns k <= j wrote it at steps k), so the inverse row
+        L^{-1}[j, :] = (e_j - L[j, :j] @ L^{-1}[:j, :]) / l_jj
+    is computable in the same iteration.  The row contraction runs as a
+    (1, Mp) x (Mp, Mp) MXU matmul (rows >= j of L^{-1} are still zero, so no
+    masking of the contraction operand is needed).  One kernel replaces the
+    two latency-bound XLA ops of the DSVI hot path (batched Cholesky +
+    batched triangular inverse, see ops/linalg.chol_tri_inv).
+    """
+    mp = a_ref.shape[-1]
+    A0 = a_ref[0]
+    dt = A0.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (mp, mp), 1)
+    acc_t = dt if dt == jnp.float64 else jnp.float32
+
+    def col_step(j, carry):
+        A, L, Linv = carry
+        col_mask = cols == j
+        colj = jnp.sum(jnp.where(col_mask, A, 0.0), axis=1, keepdims=True)  # (mp,1)
+        a_jj = jnp.sum(jnp.where(jnp.logical_and(col_mask, rows == j), A, 0.0))
+        d = jax.lax.rsqrt(jnp.maximum(a_jj, 1e-30))  # = 1 / l_jj
+        colj = jnp.where(rows[:, :1] >= j, colj * d, 0.0)  # (mp,1) column j of L
+        L = jnp.where(col_mask, colj, L)
+        A = A - colj * colj.reshape(1, mp)
+        # inverse row j (forward substitution against the finished rows < j)
+        row_mask = rows == j
+        rowj = jnp.sum(jnp.where(row_mask, L, 0.0), axis=0, keepdims=True)  # (1,mp)
+        rowj_off = jnp.where(cols[:1, :] == j, 0.0, rowj)  # drop the diagonal
+        t = jnp.dot(rowj_off, Linv, preferred_element_type=acc_t).astype(dt)
+        ej = jnp.where(cols[:1, :] == j, 1.0, 0.0).astype(dt)
+        linv_rowj = (ej - t) * d  # (1, mp)
+        Linv = jnp.where(row_mask, linv_rowj, Linv)
+        return (A, L, Linv)
+
+    _, L, Linv = jax.lax.fori_loop(
+        0, mp, col_step, (A0, jnp.zeros_like(A0), jnp.zeros_like(A0))
+    )
+    lower = rows >= cols
+    l_ref[0] = jnp.where(lower, L, 0.0)
+    linv_ref[0] = jnp.where(lower, Linv, 0.0)
+
+
+def chol_inv_pallas(A, interpret=False):
+    """Batched fused (L, L^{-1}) of (..., M, M) SPD matrices, M <= 512.
+
+    Returns the same values as `ops.linalg.chol_tri_inv`'s forward (one
+    batched Cholesky + one batched triangular inverse) in a single Pallas
+    kernel, one matrix per grid program.  NOT differentiable on its own.
+    Padding note: padded tail columns are identity (diag 1), which the
+    recurrence preserves exactly for both outputs.
+
+    Measured (v5e, f32, batch=4, M=100 — the DSVI hot-path shape): 161 us
+    vs 59 us for XLA's batched Cholesky + triangular-inverse pair inside
+    the same scan, so the hot path does NOT dispatch here: four sequential
+    grid programs each walking a 100-step column recurrence (with an MXU
+    (1,M)x(M,M) matmul per step) lose to XLA's batched pipeline at this
+    tiny batch.  Kept for larger batches / as the building block for a
+    future multi-matrix-per-program variant.
+    """
+    batch_shape = A.shape[:-2]
+    m = A.shape[-1]
+    mp = max(8, ((m + 7) // 8) * 8)
+    Ab = A.reshape((-1, m, m))
+    nb = Ab.shape[0]
+    if mp != m:
+        eye_pad = jnp.eye(mp, dtype=A.dtype)
+        Ap = jnp.tile(eye_pad[None], (nb, 1, 1))
+        Ap = Ap.at[:, :m, :m].set(Ab)
+    else:
+        Ap = Ab
+    spec = pl.BlockSpec((1, mp, mp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    L, Linv = pl.pallas_call(
+        _chol_inv_kernel_body,
+        grid=(nb,),
+        in_specs=[spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, mp, mp), A.dtype),
+            jax.ShapeDtypeStruct((nb, mp, mp), A.dtype),
+        ),
+        interpret=interpret,
+    )(Ap)
+    crop = lambda X: X[:, :m, :m].reshape(batch_shape + (m, m))
+    return crop(L), crop(Linv)
 
 
 def _chol_fwd(A, interpret):

@@ -148,3 +148,21 @@ def test_cholesky_pallas_vjp_matches_jnp():
     g_ref = np.asarray(jax.grad(f_ref)(jnp.asarray(S)))
     # jax's cholesky grad returns the symmetrized gradient too
     np.testing.assert_allclose(g_pal, g_ref, rtol=1e-7, atol=1e-9)
+
+
+def test_chol_inv_pallas_matches_chol_tri_inv():
+    """Fused (L, L^{-1}) kernel agrees with the XLA pair, incl. non-multiple-
+    of-8 sizes (identity padding must be exact for BOTH outputs)."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.pallas_kernels import (
+        chol_inv_pallas,
+    )
+
+    for batch, m in [(4, 20), (2, 13), (1, 1)]:
+        A = RNG.standard_normal((batch, m, m))
+        S = np.einsum("bij,bkj->bik", A, A) + m * np.eye(m)
+        L, Linv = chol_inv_pallas(jnp.asarray(S), interpret=True)
+        L_ref = np.linalg.cholesky(S)
+        np.testing.assert_allclose(np.asarray(L), L_ref, rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(Linv), np.linalg.inv(L_ref), rtol=1e-7, atol=1e-8
+        )
