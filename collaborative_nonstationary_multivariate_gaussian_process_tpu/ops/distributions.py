@@ -13,6 +13,8 @@ torch autograd through `symeig`; here `jnp.linalg.eigh` provides the same).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
@@ -29,7 +31,10 @@ __all__ = [
     "gamma_logpdf",
 ]
 
-_LOG_2PI = jnp.log(2.0 * jnp.pi)
+# Python float, NOT a jnp computation: a module-level jnp op initializes the
+# XLA backend at import time, which breaks `jax.distributed.initialize` on
+# multi-host pods (it must run before any backend use).
+_LOG_2PI = math.log(2.0 * math.pi)
 
 
 def normal_logprob_sum(loc, scale, y):

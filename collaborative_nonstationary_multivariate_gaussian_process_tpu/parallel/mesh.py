@@ -27,6 +27,7 @@ __all__ = [
     "replicate",
     "initialize_distributed",
     "process_local_slice",
+    "process_local_blocks",
     "global_batch_from_local",
 ]
 
@@ -91,27 +92,66 @@ def initialize_distributed(
       - In a single-process run (tests, one-host dev) initialization is
         skipped entirely; the return value is (0, 1).
       - Calling twice is safe (the second call is a no-op).
+
+    IMPORTANT: the decision to initialize must NOT touch the backend —
+    `jax.process_count()` / `jax.devices()` initialize XLA, after which
+    `jax.distributed.initialize` raises.  So the dispatch below looks only at
+    explicit args, env vars, and cluster auto-detection; backend queries
+    happen strictly *after* the decision.
     """
-    already = getattr(
-        jax._src.distributed.global_state, "client", None  # noqa: SLF001
-    ) is not None
+    if _distributed_is_initialized():
+        return jax.process_index(), jax.process_count()
     explicit = coordinator_address is not None or num_processes is not None
-    if not already and (explicit or jax.process_count() > 1 or _env_says_multiprocess()):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-            **kwargs,
-        )
+    if explicit or _cluster_detected():
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                **kwargs,
+            )
+        except RuntimeError as e:
+            # "already initialized" (race with another caller) is benign;
+            # anything else — e.g. backend already touched — is a real error.
+            if "already" not in str(e).lower():
+                raise
     return jax.process_index(), jax.process_count()
 
 
-def _env_says_multiprocess() -> bool:
+def _distributed_is_initialized() -> bool:
+    """Public API when present (jax>=0.4.34), documented fallback otherwise."""
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        return bool(is_init())
+    return (
+        getattr(jax._src.distributed.global_state, "client", None)  # noqa: SLF001
+        is not None
+    )
+
+
+def _cluster_detected() -> bool:
+    """Multi-process environment detection WITHOUT touching the XLA backend.
+
+    Mirrors the signals jax.distributed's own ClusterEnv implementations use:
+    explicit coordinator env vars, Slurm, Open MPI, and multi-host TPU pod
+    metadata env vars set by the TPU runtime.
+    """
     import os
 
-    return any(
-        os.environ.get(v) for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
-    )
+    env = os.environ
+    if any(env.get(v) for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")):
+        return True
+    # Slurm multi-task
+    if env.get("SLURM_NTASKS") and int(env["SLURM_NTASKS"]) > 1:
+        return True
+    # Open MPI / PMIx
+    if env.get("OMPI_COMM_WORLD_SIZE") and int(env["OMPI_COMM_WORLD_SIZE"]) > 1:
+        return True
+    # Cloud TPU pod: worker hostnames list present and >1 entry
+    hosts = env.get("TPU_WORKER_HOSTNAMES", "")
+    if hosts and len(hosts.split(",")) > 1:
+        return True
+    return False
 
 
 def make_pod_mesh(
@@ -151,6 +191,29 @@ def process_local_slice(mesh: Mesh, n_rows: int, axis: str = DATA_AXIS):
     (the reference loads everything everywhere — single process).  Rows must
     divide evenly over the axis (pad upstream; the DSVI weights column makes
     padded rows exact no-ops in the ELBO).
+
+    Raises ValueError when this process's axis coordinates are not one
+    contiguous run (possible under `create_device_mesh`'s ICI permutation with
+    chain>1 or allow_split_physical_axes) — use `process_local_blocks` for the
+    general case.
+    """
+    blocks = process_local_blocks(mesh, n_rows, axis)
+    if len(blocks) != 1:
+        raise ValueError(
+            f"this process's '{axis}'-axis rows are not contiguous "
+            f"(blocks={blocks}); load via process_local_blocks() instead"
+        )
+    return blocks[0]
+
+
+def process_local_blocks(mesh: Mesh, n_rows: int, axis: str = DATA_AXIS):
+    """List of (start, size) row ranges THIS process must load, in ascending
+    global-coordinate order (the order `global_batch_from_local` expects the
+    local rows concatenated in).
+
+    Handles any device permutation `create_device_mesh` picked, including
+    non-contiguous per-process coordinates; a process owning no devices on
+    the mesh gets an empty list.
     """
     axis_size = mesh.shape[axis]
     assert n_rows % axis_size == 0, (n_rows, axis_size)
@@ -165,12 +228,19 @@ def process_local_slice(mesh: Mesh, n_rows: int, axis: str = DATA_AXIS):
             if dev.process_index == jax.process_index()
         }
     )
-    # contiguous per-process blocks on TPU pods (devices of one host are
-    # adjacent on the data axis by construction)
-    assert coords_here == list(
-        range(coords_here[0], coords_here[0] + len(coords_here))
-    ), f"non-contiguous data-axis coordinates for this process: {coords_here}"
-    return coords_here[0] * block, len(coords_here) * block
+    if not coords_here:
+        return []
+    # merge contiguous coordinate runs into maximal row ranges
+    blocks = []
+    run_start = prev = coords_here[0]
+    for c in coords_here[1:]:
+        if c == prev + 1:
+            prev = c
+            continue
+        blocks.append((run_start * block, (prev - run_start + 1) * block))
+        run_start = prev = c
+    blocks.append((run_start * block, (prev - run_start + 1) * block))
+    return blocks
 
 
 def global_batch_from_local(mesh: Mesh, tree, axis: str = DATA_AXIS):
