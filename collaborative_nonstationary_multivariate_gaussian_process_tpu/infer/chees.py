@@ -22,6 +22,15 @@ the chain axis is sharded over a mesh (parallel/sharded_mcmc.py) — the
 TPU-native design from SURVEY.md §5.8 where adaptation statistics ride ICI
 collectives.
 
+Bounded dispatches: every driver below runs the warmup/sampling scans in
+host-chunked SEGMENTS of at most `max_iters_per_dispatch` iterations (the
+segment function is jitted once; all chunks share the compile).  Multi-minute
+single XLA dispatches have crashed the remote TPU worker (round-2 postmortem,
+docs/DESIGN.md) — the monolithic path is therefore gone; "unbounded" is just
+one large segment.  The Halton jitter and the RNG key schedule are
+precomputed per run, so the chunked scan is bit-identical to a single scan
+over the concatenated inputs.
+
 The reference repo has no sampler at all (SURVEY.md §0, §2.4); this module
 and infer/{hmc,nuts,smc}.py are the new-framework deliverables over the
 logdensities library.
@@ -40,20 +49,29 @@ from .hmc import DualAveragingState, da_init, da_update
 __all__ = [
     "CheesState",
     "CheesTuning",
+    "CheesCarry",
     "run_chees",
     "chees_warmup",
     "chees_sample",
     "halton_sequence",
+    "DEFAULT_ITERS_PER_DISPATCH",
 ]
 
+# Default dispatch budget: ≤128 iterations × ≤max_num_steps leapfrogs per
+# XLA dispatch.  At the 1024-chain/52-dim scale of
+# results/chees_1024chains_1chip_tpu.json one 128-iteration segment executes
+# in single-digit seconds on one chip; the ~24 ms axon dispatch overhead
+# amortizes to <1%.
+DEFAULT_ITERS_PER_DISPATCH = 128
 
-def halton_sequence(n: int) -> np.ndarray:
-    """First n points of the base-2 Halton (van der Corput) sequence in
-    (0, 1): bit-reversed binary fractions — the standard quasi-random
+
+def halton_sequence(n: int, offset: int = 0) -> np.ndarray:
+    """Points offset..offset+n of the base-2 Halton (van der Corput) sequence
+    in (0, 1): bit-reversed binary fractions — the standard quasi-random
     trajectory jitter for ChEES."""
     out = np.zeros(n)
     for i in range(n):
-        f, r, k = 0.5, 0.0, i + 1
+        f, r, k = 0.5, 0.0, offset + i + 1
         while k > 0:
             r += f * (k & 1)
             k >>= 1
@@ -82,6 +100,23 @@ class _AdamState(NamedTuple):
     m: jax.Array
     v: jax.Array
     step: jax.Array
+
+
+class CheesCarry(NamedTuple):
+    """Scan carry of the adaptation loop.  Under `shard_map` every leaf is
+    REPLICATED except `state` (sharded over the chain axis): the Welford
+    moments m1/m2 accumulate cross-chain (pmean'd) means, not per-shard
+    sums — which is what lets segments stream through shard_map with clean
+    out_specs."""
+
+    state: CheesState
+    da: DualAveragingState
+    adam: _AdamState
+    log_T: jax.Array  # ()
+    inv_mass: jax.Array  # (dim,)
+    m1: jax.Array  # (dim,) running sum over window iters of cmean(q)
+    m2: jax.Array  # (dim,) running sum of cmean(q**2)
+    cnt: jax.Array  # () window iterations accumulated
 
 
 def _adam_update(s: _AdamState, g, lr=0.025, b1=0.9, b2=0.999, eps=1e-8):
@@ -190,15 +225,23 @@ def _fold_shard_key(key, axis_name):
     return jax.random.fold_in(key, jax.lax.axis_index(axis_name))
 
 
-def _make_phase(log_prob_fn, cmean, max_num_steps, target_accept, adam_lr, adapt, C):
-    def phase_body(carry, inp):
-        st, da, adam, log_T, inv_mass, s1, s2, cnt = carry
+def make_phase(log_prob_fn, cmean, max_num_steps, target_accept, adam_lr, adapt):
+    """Scan body over (halton, key, in_window) inputs with a CheesCarry.
+
+    Exposed (used by parallel/sharded_mcmc.py to build shard_mapped
+    segments); prefer the chees_warmup/chees_sample drivers elsewhere.
+    """
+
+    def phase_body(carry: CheesCarry, inp):
         h, k, in_window = inp
-        eps = jnp.exp(da.log_eps)
-        traj = h * jnp.exp(log_T)
+        eps = jnp.exp(carry.da.log_eps)
+        traj = h * jnp.exp(carry.log_T)
         st, aps, mean_acc, chees_g, nsteps = _chees_kernel(
-            log_prob_fn, st, k, eps, traj, inv_mass, max_num_steps, cmean
+            log_prob_fn, carry.state, k, eps, traj, carry.inv_mass,
+            max_num_steps, cmean,
         )
+        da, adam, log_T = carry.da, carry.adam, carry.log_T
+        m1, m2, cnt = carry.m1, carry.m2, carry.cnt
         if adapt:
             da = da_update(da, mean_acc, target_accept)
             # chain rule through t = h e^{logT}: dt/dlogT = t
@@ -210,17 +253,87 @@ def _make_phase(log_prob_fn, cmean, max_num_steps, target_accept, adam_lr, adapt
                 da.log_eps - 2.0,
                 da.log_eps + jnp.log(float(max_num_steps)),
             )
-            s1 = s1 + jnp.where(in_window, jnp.sum(st.position, 0), 0.0)
-            s2 = s2 + jnp.where(in_window, jnp.sum(st.position**2, 0), 0.0)
-            cnt = cnt + jnp.where(in_window, float(C), 0.0)
-        return (st, da, adam, log_T, inv_mass, s1, s2, cnt), (
-            st.position,
-            aps,
-            st.log_prob,
-            nsteps,
-        )
+            # cross-chain (replicated) Welford moments for the mass matrix
+            m1 = m1 + jnp.where(in_window, cmean(st.position), 0.0)
+            m2 = m2 + jnp.where(in_window, cmean(st.position**2), 0.0)
+            cnt = cnt + jnp.where(in_window, 1.0, 0.0)
+        new_carry = CheesCarry(st, da, adam, log_T, carry.inv_mass, m1, m2, cnt)
+        return new_carry, (st.position, aps, st.log_prob, nsteps)
 
     return phase_body
+
+
+def _in_trace(*trees) -> bool:
+    """True when any leaf is a tracer — i.e. the caller wrapped us in jit /
+    shard_map.  Host-side chunking is impossible there; we fall back to a
+    single in-graph scan and the caller owns the dispatch structure."""
+    return any(
+        isinstance(leaf, jax.core.Tracer)
+        for tree in trees
+        for leaf in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def _run_segments(segment_fn, carry, inputs, chunk, collect=False):
+    """Drive `segment_fn(carry, inputs_slice) -> (carry, outs)` over
+    host-sliced chunks of the per-iteration inputs.  One compile for the
+    full-size chunk (+ one for a ragged tail).  With collect=True the
+    per-iteration outputs are pulled to host numpy after each dispatch and
+    concatenated — the device never holds more than one chunk of draws."""
+    n = int(np.shape(inputs[0])[0])
+    chunk = n if (chunk is None or chunk <= 0) else min(int(chunk), n)
+    outs_np = []
+    for start in range(0, n, chunk):
+        sl = tuple(a[start : start + chunk] for a in inputs)
+        carry, outs = segment_fn(carry, sl)
+        if collect:
+            outs_np.append(jax.tree_util.tree_map(np.asarray, outs))
+    if not collect:
+        return carry, None
+    merged = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *outs_np
+    )
+    return carry, merged
+
+
+def init_carry(
+    log_prob_fn,
+    init_positions,
+    init_step_size,
+    init_traj_length,
+    dtype,
+) -> CheesCarry:
+    """Initial CheesCarry (gradients evaluated once at the start points)."""
+    lp0, g0 = jax.vmap(jax.value_and_grad(log_prob_fn))(init_positions)
+    state = CheesState(init_positions, lp0, g0)
+    dim = init_positions.shape[1]
+    da = da_init(jnp.asarray(init_step_size, dtype))
+    adam = _AdamState(
+        m=jnp.zeros((), dtype), v=jnp.zeros((), dtype), step=jnp.zeros((), dtype)
+    )
+    log_T = jnp.log(jnp.asarray(init_traj_length, dtype))
+    zeros_d = jnp.zeros(dim, dtype)
+    return CheesCarry(
+        state, da, adam, log_T, jnp.ones(dim, dtype), zeros_d, zeros_d,
+        jnp.zeros((), dtype),
+    )
+
+
+def finish_mass(carry: CheesCarry, mass_adapt: bool) -> CheesCarry:
+    """Between warmup phases: pooled mass matrix from the Welford moments,
+    dual-averaging restart at the averaged step size.  Pure jnp on
+    replicated leaves — a negligible dispatch."""
+    if mass_adapt:
+        mean = carry.m1 / jnp.maximum(carry.cnt, 1.0)
+        var = carry.m2 / jnp.maximum(carry.cnt, 1.0) - mean**2
+        inv_mass = jnp.where(var > 1e-10, var, 1.0)
+    else:
+        inv_mass = carry.inv_mass
+    da = da_init(jnp.exp(carry.da.log_eps_bar))
+    return CheesCarry(
+        carry.state, da, carry.adam, carry.log_T, inv_mass,
+        0.0 * carry.m1, 0.0 * carry.m2, 0.0 * carry.cnt,
+    )
 
 
 def chees_warmup(
@@ -235,79 +348,84 @@ def chees_warmup(
     adam_lr: float = 0.025,
     mass_adapt: bool = True,
     axis_name: Optional[str] = None,
+    max_iters_per_dispatch: Optional[int] = DEFAULT_ITERS_PER_DISPATCH,
 ):
     """Adaptation phases only.  Returns (CheesState, CheesTuning, info).
 
-    Separated from sampling so drivers can bound the length of any single
-    XLA dispatch (long single dispatches have crashed remote TPU workers),
-    checkpoint the tuned constants, and stream draws with `chees_sample`.
+    Separated from sampling so drivers can checkpoint the tuned constants
+    and stream draws with `chees_sample`.  Runs in segments of at most
+    `max_iters_per_dispatch` iterations per XLA dispatch (None = one
+    dispatch per phase); the segment boundary is invisible to the math —
+    the key/Halton schedule is precomputed, so any chunking produces
+    bit-identical results.
     """
     dtype = init_positions.dtype
-    C, dim = init_positions.shape
     cmean = _make_cmean(axis_name)
     key = _fold_shard_key(key, axis_name)
 
-    lp0, g0 = jax.vmap(jax.value_and_grad(log_prob_fn))(init_positions)
-    state = CheesState(init_positions, lp0, g0)
-    inv_mass0 = jnp.ones(dim, dtype)
     if init_traj_length is None:
         init_traj_length = float(init_step_size)
 
     n_re = max(num_warmup // 4, 1)
     halton = jnp.asarray(halton_sequence(num_warmup + n_re), dtype)
-
     k_warm, k_re = jax.random.split(key)
-    da = da_init(jnp.asarray(init_step_size, dtype))
-    adam = _AdamState(
-        m=jnp.zeros((), dtype), v=jnp.zeros((), dtype), step=jnp.zeros((), dtype)
+
+    carry = init_carry(
+        log_prob_fn, init_positions, init_step_size, init_traj_length, dtype
     )
-    log_T = jnp.log(jnp.asarray(init_traj_length, dtype))
-    # tied to the chain state: the Welford sums are shard-varying under
-    # shard_map and the scan carry type must reflect that from iteration 0
-    zeros_d = 0.0 * state.position[0]
-    zero_c = 0.0 * state.log_prob[0]
+
+    phase_adapt = make_phase(
+        log_prob_fn, cmean, max_num_steps, target_accept, adam_lr, True
+    )
+
+    def segment(c, inp):
+        return jax.lax.scan(phase_adapt, c, inp)
+
+    traced = axis_name is not None or _in_trace(init_positions, key)
+    if traced:
+        max_iters_per_dispatch = None  # single in-graph scan; caller owns it
+    else:
+        segment = jax.jit(segment)
 
     # ---- phase 1: joint adaptation under unit mass ------------------------
-    phase_adapt = _make_phase(
-        log_prob_fn, cmean, max_num_steps, target_accept, adam_lr, True, C
-    )
-    carry = (state, da, adam, log_T, inv_mass0, zeros_d, zeros_d, zero_c)
     half = num_warmup // 2
     in_w = jnp.arange(num_warmup) >= half
     keys = jax.random.split(k_warm, num_warmup)
-    carry, (_, warm_aps, _, _) = jax.lax.scan(
-        phase_adapt, carry, (halton[:num_warmup], keys, in_w)
-    )
-    state, da, adam, log_T, _, s1, s2, cnt = carry
+    if traced:
+        carry, outs = segment(carry, (halton[:num_warmup], keys, in_w))
+        warm_aps = outs[1]
+    else:
+        carry, outs = _run_segments(
+            segment,
+            carry,
+            (halton[:num_warmup], keys, in_w),
+            max_iters_per_dispatch,
+            collect=True,
+        )
+        warm_aps = outs[1]
 
     # ---- mass matrix from pooled cross-chain warmup variance --------------
-    if mass_adapt and num_warmup > 10:
-        s1 = cmean(s1[None]) if axis_name else s1  # pool shards
-        s2 = cmean(s2[None]) if axis_name else s2
-        cntp = cmean(cnt[None]) if axis_name else cnt
-        mean = s1 / jnp.maximum(cntp, 1.0)
-        var = s2 / jnp.maximum(cntp, 1.0) - mean**2
-        inv_mass = jnp.where(var > 1e-10, var, 1.0)
-    else:
-        inv_mass = inv_mass0
+    carry = finish_mass(carry, mass_adapt and num_warmup > 10)
 
     # ---- phase 2: short re-adaptation under the new metric ----------------
-    da = da_init(jnp.exp(da.log_eps_bar))
     keys = jax.random.split(k_re, n_re)
-    carry = (state, da, adam, log_T, inv_mass, zeros_d, zeros_d, zero_c)
-    carry, _ = jax.lax.scan(
-        phase_adapt,
-        carry,
-        (halton[num_warmup:], keys, jnp.zeros(n_re, bool)),
-    )
-    state, da, log_T = carry[0], carry[1], carry[3]
+    phase2_in = (halton[num_warmup:], keys, jnp.zeros(n_re, bool))
+    if traced:
+        carry, _ = segment(carry, phase2_in)
+    else:
+        carry, _ = _run_segments(segment, carry, phase2_in, max_iters_per_dispatch)
     tuning = CheesTuning(
-        step_size=jnp.exp(da.log_eps_bar),
-        log_traj_length=log_T,
-        inv_mass=inv_mass,
+        step_size=jnp.exp(carry.da.log_eps_bar),
+        log_traj_length=carry.log_T,
+        inv_mass=carry.inv_mass,
     )
-    info = {"warmup_accept_mean": jnp.mean(warm_aps), "halton_offset": num_warmup + n_re}
-    return state, tuning, info
+    info = {
+        "warmup_accept_mean": (
+            jnp.mean(warm_aps) if traced else float(np.mean(warm_aps))
+        ),
+        "halton_offset": num_warmup + n_re,
+    }
+    return carry.state, tuning, info
 
 
 def chees_sample(
@@ -319,38 +437,52 @@ def chees_sample(
     halton_offset: int = 0,
     max_num_steps: int = 1024,
     axis_name: Optional[str] = None,
+    max_iters_per_dispatch: Optional[int] = DEFAULT_ITERS_PER_DISPATCH,
 ):
     """Draw `num_samples` at fixed tuning, resuming the Halton jitter at
     `halton_offset`.  Returns (state, positions (S, C, dim), info).
 
-    Call repeatedly with advancing offsets (and fresh keys) to stream draws
-    in bounded dispatches; the state/tuning pytrees checkpoint directly.
+    Draws stream to host per segment (the device holds at most one chunk),
+    so arbitrarily long runs neither grow device memory nor lengthen any
+    single dispatch.  Call repeatedly with advancing offsets (and fresh
+    keys) to checkpoint between calls; chunking never changes the draws.
     """
     dtype = state.position.dtype
-    C = state.position.shape[0]
     cmean = _make_cmean(axis_name)
     key = _fold_shard_key(key, axis_name)
 
-    halton = jnp.asarray(
-        halton_sequence(halton_offset + num_samples)[halton_offset:], dtype
+    halton = jnp.asarray(halton_sequence(num_samples, offset=halton_offset), dtype)
+    phase_fixed = make_phase(log_prob_fn, cmean, max_num_steps, 0.651, 0.0, False)
+    dim = state.position.shape[1]
+    zeros_d = jnp.zeros(dim, dtype)
+    carry = CheesCarry(
+        state,
+        da_init(tuning.step_size),
+        _AdamState(
+            m=jnp.zeros((), dtype), v=jnp.zeros((), dtype), step=jnp.zeros((), dtype)
+        ),
+        tuning.log_traj_length,
+        tuning.inv_mass,
+        zeros_d,
+        zeros_d,
+        jnp.zeros((), dtype),
     )
-    phase_fixed = _make_phase(log_prob_fn, cmean, max_num_steps, 0.651, 0.0, False, C)
-    zeros_d = 0.0 * state.position[0]
-    zero_c = 0.0 * state.log_prob[0]
-    da_fixed = da_init(tuning.step_size)
-    adam = _AdamState(
-        m=jnp.zeros((), dtype), v=jnp.zeros((), dtype), step=jnp.zeros((), dtype)
-    )
-    carry = (
-        state, da_fixed, adam, tuning.log_traj_length, tuning.inv_mass,
-        zeros_d, zeros_d, zero_c,
-    )
+
+    def segment(c, inp):
+        return jax.lax.scan(phase_fixed, c, inp)
+
+    traced = axis_name is not None or _in_trace(state, tuning, key)
     keys = jax.random.split(key, num_samples)
-    carry, (positions, aps, lps, nsteps) = jax.lax.scan(
-        phase_fixed, carry, (halton, keys, jnp.zeros(num_samples, bool))
-    )
+    inputs = (halton, keys, jnp.zeros(num_samples, bool))
+    if traced:
+        carry, (positions, aps, lps, nsteps) = segment(carry, inputs)
+    else:
+        segment = jax.jit(segment)
+        carry, (positions, aps, lps, nsteps) = _run_segments(
+            segment, carry, inputs, max_iters_per_dispatch, collect=True
+        )
     info = {"accept_prob": aps, "log_prob": lps, "num_steps": nsteps}
-    return carry[0], positions, info
+    return carry.state, positions, info
 
 
 def run_chees(
@@ -366,19 +498,23 @@ def run_chees(
     adam_lr: float = 0.025,
     mass_adapt: bool = True,
     axis_name: Optional[str] = None,
+    max_iters_per_dispatch: Optional[int] = DEFAULT_ITERS_PER_DISPATCH,
 ):
-    """ChEES-HMC over jointly-updated chains (warmup + sampling in one call).
+    """ChEES-HMC over jointly-updated chains (warmup + sampling).
 
     init_positions: (C, dim) — the kernel is inherently multi-chain (the
     adaptation statistics are cross-chain expectations).  With
     `axis_name`, cross-chain reductions compose `pmean` over that mesh
-    axis, so the same function runs chain-sharded under `shard_map`
-    (a local (C_local, dim) block per device).
+    axis, so the same function runs chain-sharded (but then the caller owns
+    the dispatch structure — see parallel/sharded_mcmc.run_chees_sharded,
+    which rebuilds the segment loop with shard_map around each segment;
+    this path must run with max_iters_per_dispatch=None inside a single
+    trace).
 
-    For bounded dispatches / streaming / checkpointable sampling, use
-    `chees_warmup` + repeated `chees_sample` instead.
+    Every dispatch is bounded by `max_iters_per_dispatch` iterations
+    (default 128; None = monolithic).  Chunking is bit-invisible.
 
-    Returns (positions (num_samples, C, dim), info dict).
+    Returns (positions (num_samples, C, dim) numpy, info dict).
     """
     k_warm, k_main = jax.random.split(key)
     state, tuning, winfo = chees_warmup(
@@ -393,6 +529,7 @@ def run_chees(
         adam_lr=adam_lr,
         mass_adapt=mass_adapt,
         axis_name=axis_name,
+        max_iters_per_dispatch=max_iters_per_dispatch,
     )
     _, positions, info = chees_sample(
         log_prob_fn,
@@ -403,6 +540,7 @@ def run_chees(
         halton_offset=winfo["halton_offset"],
         max_num_steps=max_num_steps,
         axis_name=axis_name,
+        max_iters_per_dispatch=max_iters_per_dispatch,
     )
     info = dict(info)
     info["step_size"] = tuning.step_size

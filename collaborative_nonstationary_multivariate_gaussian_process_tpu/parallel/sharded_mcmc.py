@@ -122,7 +122,11 @@ def run_chees_sharded(
     num_samples: int = 1000,
     target_accept: float = 0.651,
     init_step_size: float = 0.1,
-    **chees_kwargs,
+    init_traj_length=None,
+    max_num_steps: int = 1024,
+    adam_lr: float = 0.025,
+    mass_adapt: bool = True,
+    max_iters_per_dispatch=None,
 ):
     """ChEES-HMC with chains sharded over the mesh chain axis.
 
@@ -133,52 +137,146 @@ def run_chees_sharded(
     This is the sampler shape that actually *uses* the mesh during
     adaptation rather than only for throughput.
 
-    Returns positions (num_chains, num_samples, dim) + info (trajectory
-    length / step size replicated-identical across shards by construction).
+    The run is driven as host-chunked shard_mapped SEGMENTS of at most
+    `max_iters_per_dispatch` iterations (default
+    infer.chees.DEFAULT_ITERS_PER_DISPATCH): one compile, many bounded
+    dispatches — no multi-minute single dispatch at any chain count
+    (round-2 postmortem, docs/DESIGN.md).  Sample draws stream to host per
+    segment.
+
+    Returns positions (num_chains, num_samples, dim) numpy + info
+    (trajectory length / step size replicated-identical across shards by
+    construction).
     """
     from ..infer import chees as chees_mod
+    from ..infer.chees import CheesCarry, CheesState, CheesTuning
+
+    if max_iters_per_dispatch is None:
+        max_iters_per_dispatch = chees_mod.DEFAULT_ITERS_PER_DISPATCH
 
     num_chains, dim = init_positions.shape
+    dtype = init_positions.dtype
+    if init_traj_length is None:
+        init_traj_length = float(init_step_size)
 
-    def block(pos_block, k):
-        pos, info = chees_mod.run_chees(
-            log_prob_fn,
-            pos_block,
-            k,
-            num_warmup=num_warmup,
-            num_samples=num_samples,
-            target_accept=target_accept,
-            init_step_size=init_step_size,
-            axis_name=CHAIN_AXIS,
-            **chees_kwargs,
-        )
-        # (S, C_local, dim) -> (C_local, S, dim) to match run_*_sharded
-        info = dict(info)
-        info["warmup_accept_mean"] = jax.lax.pmean(
-            info["warmup_accept_mean"], CHAIN_AXIS
-        )
-        return jnp.swapaxes(pos, 0, 1), info
+    cmean = chees_mod._make_cmean(CHAIN_AXIS)
+    spec_c = P(CHAIN_AXIS)
 
-    spec = P(CHAIN_AXIS)
-    fn = shard_map(
-        block,
-        mesh=mesh,
-        in_specs=(spec, P()),
-        out_specs=(
-            spec,
-            {
-                "accept_prob": P(None, CHAIN_AXIS),
-                "log_prob": P(None, CHAIN_AXIS),
-                "num_steps": P(),
-                "step_size": P(),
-                "trajectory_length": P(),
-                "inv_mass": P(),
-                "warmup_accept_mean": P(),
-            },
-        ),
+    # ---- carry init (per-chain grads) under shard_map ---------------------
+    def init_block(pos_block):
+        return chees_mod.init_carry(
+            log_prob_fn, pos_block, init_step_size, init_traj_length, dtype
+        )
+
+    # spec pytree: state sharded over chains, every adaptation leaf replicated
+    carry_struct = jax.eval_shape(init_block, init_positions)
+    carry_spec = jax.tree_util.tree_map(lambda _: P(), carry_struct)
+    carry_spec = carry_spec._replace(state=CheesState(spec_c, spec_c, spec_c))
+
+    carry = jax.jit(
+        shard_map(init_block, mesh=mesh, in_specs=(spec_c,), out_specs=carry_spec)
+    )(init_positions)
+
+    # ---- shard_mapped segment builders ------------------------------------
+    out_seg_spec = (P(None, CHAIN_AXIS), P(None, CHAIN_AXIS), P(None, CHAIN_AXIS), P())
+
+    def make_segment(adapt):
+        phase = chees_mod.make_phase(
+            log_prob_fn, cmean, max_num_steps, target_accept, adam_lr, adapt
+        )
+
+        def seg_block(c, halton, keys, in_w):
+            ax = jax.lax.axis_index(CHAIN_AXIS)
+            keys_local = jax.vmap(lambda k: jax.random.fold_in(k, ax))(keys)
+            return jax.lax.scan(phase, c, (halton, keys_local, in_w))
+
+        return jax.jit(
+            shard_map(
+                seg_block,
+                mesh=mesh,
+                in_specs=(carry_spec, P(), P(), P()),
+                out_specs=(carry_spec, out_seg_spec),
+            )
+        )
+
+    seg_adapt = make_segment(True)
+    seg_fixed = make_segment(False)
+
+    def drive(seg, carry, inputs, collect=False):
+        n = int(np.shape(inputs[0])[0])
+        chunk = min(max_iters_per_dispatch, n)
+        outs_np = []
+        for start in range(0, n, chunk):
+            sl = tuple(a[start : start + chunk] for a in inputs)
+            carry, outs = seg(carry, *sl)
+            if collect:
+                outs_np.append(jax.tree_util.tree_map(np.asarray, outs))
+        if not collect:
+            return carry, None
+        return carry, jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *outs_np
+        )
+
+    n_re = max(num_warmup // 4, 1)
+    halton = jnp.asarray(
+        chees_mod.halton_sequence(num_warmup + n_re + num_samples), dtype
     )
-    positions, info = jax.jit(fn)(init_positions, key)
-    return positions, info
+    k_warm, k_re, k_main = jax.random.split(key, 3)
+
+    # ---- warmup phase 1 ----------------------------------------------------
+    in_w = jnp.arange(num_warmup) >= num_warmup // 2
+    keys = jax.random.split(k_warm, num_warmup)
+    carry, wouts = drive(
+        seg_adapt, carry, (halton[:num_warmup], keys, in_w), collect=True
+    )
+    warm_accept_mean = float(np.mean(wouts[1]))
+
+    # ---- mass matrix + phase 2 re-adaptation ------------------------------
+    carry = jax.tree_util.tree_map(jnp.asarray, carry)
+    carry = chees_mod.finish_mass(carry, mass_adapt and num_warmup > 10)
+    keys = jax.random.split(k_re, n_re)
+    carry, _ = drive(
+        seg_adapt,
+        carry,
+        (halton[num_warmup : num_warmup + n_re], keys, jnp.zeros(n_re, bool)),
+    )
+
+    tuning = CheesTuning(
+        step_size=jnp.exp(carry.da.log_eps_bar),
+        log_traj_length=carry.log_T,
+        inv_mass=carry.inv_mass,
+    )
+
+    # ---- sampling at fixed tuning (streams to host per segment) -----------
+    carry = CheesCarry(
+        carry.state,
+        hmc_mod.da_init(tuning.step_size),
+        carry.adam,
+        tuning.log_traj_length,
+        tuning.inv_mass,
+        0.0 * carry.m1,
+        0.0 * carry.m2,
+        0.0 * carry.cnt,
+    )
+    keys = jax.random.split(k_main, num_samples)
+    carry, (positions, aps, lps, nsteps) = drive(
+        seg_fixed,
+        carry,
+        (halton[num_warmup + n_re :], keys, jnp.zeros(num_samples, bool)),
+        collect=True,
+    )
+
+    info = {
+        "accept_prob": aps,  # (S, C)
+        "log_prob": lps,  # (S, C)
+        "num_steps": nsteps,  # (S,)
+        "step_size": tuning.step_size,
+        "trajectory_length": jnp.exp(tuning.log_traj_length),
+        "inv_mass": tuning.inv_mass,
+        "warmup_accept_mean": warm_accept_mean,
+    }
+    # (S, C, dim) -> (C, S, dim) to match run_*_sharded
+    return np.swapaxes(positions, 0, 1), info
 
 
 def effective_sample_size(chains_samples):

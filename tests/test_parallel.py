@@ -288,3 +288,30 @@ def test_run_chees_sharded():
     assert float(info["trajectory_length"]) > 0.0
     # chains from different shards must differ (per-shard folded keys)
     assert not np.allclose(np.asarray(pos)[0], np.asarray(pos)[2])
+
+
+def test_run_chees_sharded_chunk_invariant():
+    """The host-chunked shard_mapped segment loop must produce identical
+    draws for any max_iters_per_dispatch (keys/Halton are precomputed)."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.parallel.sharded_mcmc import (
+        run_chees_sharded,
+    )
+
+    ndev = len(jax.devices())
+    mesh = make_mesh(data=1, chain=ndev)
+    dim = 4
+    init = jnp.asarray(np.random.default_rng(2).standard_normal((2 * ndev, dim)))
+
+    def lp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    kw = dict(num_warmup=80, num_samples=60)
+    pos_a, info_a = run_chees_sharded(
+        lp, init, jax.random.PRNGKey(3), mesh, max_iters_per_dispatch=1024, **kw
+    )
+    pos_b, info_b = run_chees_sharded(
+        lp, init, jax.random.PRNGKey(3), mesh, max_iters_per_dispatch=13, **kw
+    )
+    np.testing.assert_array_equal(pos_a, pos_b)
+    np.testing.assert_array_equal(info_a["accept_prob"], info_b["accept_prob"])
+    assert float(info_a["step_size"]) == float(info_b["step_size"])

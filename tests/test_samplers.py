@@ -287,3 +287,35 @@ def test_chees_streaming_matches_onecall():
         np.testing.assert_allclose(
             float(t2.step_size), float(tuning.step_size)
         )
+
+
+def test_chees_chunked_dispatch_bit_identical():
+    """The bounded-dispatch segments (max_iters_per_dispatch) must be
+    invisible to the math: warmup tuning AND every draw identical between a
+    monolithic run and a tightly chunked one (key/Halton schedules are
+    precomputed per run)."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.chees import (
+        run_chees,
+    )
+
+    C = 6
+    init = jnp.asarray(RNG.standard_normal((C, DIM)))
+    key = jax.random.PRNGKey(5)
+    pos_a, info_a = run_chees(
+        gauss_lp, init, key, num_warmup=120, num_samples=90,
+        init_step_size=0.5, max_iters_per_dispatch=None,
+    )
+    pos_b, info_b = run_chees(
+        gauss_lp, init, key, num_warmup=120, num_samples=90,
+        init_step_size=0.5, max_iters_per_dispatch=17,
+    )
+    np.testing.assert_array_equal(np.asarray(pos_a), np.asarray(pos_b))
+    np.testing.assert_array_equal(
+        np.asarray(info_a["accept_prob"]), np.asarray(info_b["accept_prob"])
+    )
+    np.testing.assert_allclose(
+        float(info_a["step_size"]), float(info_b["step_size"]), rtol=0
+    )
+    np.testing.assert_allclose(
+        float(info_a["trajectory_length"]), float(info_b["trajectory_length"]), rtol=0
+    )
