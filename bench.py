@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def _tpu_alive(timeout_s: int = 480) -> bool:
+def _tpu_alive(timeout_s: int = 1500) -> bool:
     """Probe the chip in a subprocess: a wedged axon grant hangs forever in
     native code, so the only safe check is an expendable child process."""
     code = (
@@ -31,7 +31,9 @@ def _tpu_alive(timeout_s: int = 480) -> bool:
     )
     # Popen + poll, and do NOT kill on timeout: killing a TPU client mid-claim
     # wedges the chip further; an orphaned probe exits on its own when the
-    # grant eventually resolves.
+    # grant eventually resolves.  Timeout 1500 s: a cold grant was measured
+    # taking 849 s to resolve (2026-08-20) — round 2's 480 s probe declared
+    # the chip dead mid-grant and fell back to CPU.
     p = subprocess.Popen(
         [sys.executable, "-c", code],
         stdout=subprocess.DEVNULL,
@@ -61,8 +63,13 @@ import optax
 from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.dsvi import (
     freeze_mask,
     make_scan_epochs,
+    make_train_step,
 )
 from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import cnmgp
+from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.profiling import (
+    flops_of_jitted,
+    peak_flops_per_s,
+)
 
 REF_STEPS_PER_S = 2.4471  # reference torch-CPU on this host, see module docstring
 
@@ -120,6 +127,25 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / REF_STEPS_PER_S, 3),
     }
+
+    # ---- FLOPs / MFU accounting (VERDICT r2 item 3) -----------------------
+    # Cost-analyze ONE train step (XLA's cost analysis counts loop bodies
+    # once, so the fused epoch scan can't be analyzed directly) and multiply
+    # by the measured steps/s; denominator is the chip's bf16 dense peak.
+    step = make_train_step(optimizer, float(N), 1e-4)
+    bx, by, bi, bw = x[:B], y[:B], idx[:B], jnp.ones(B, dtype)
+    flops_step = flops_of_jitted(
+        step, params, opt_state, grad_mask, Z, bx, by, bi, bw, key
+    )
+    if np.isfinite(flops_step):
+        out["flops_per_step"] = round(flops_step)
+        achieved = flops_step * steps_per_s
+        out["achieved_tflops_per_s"] = round(achieved / 1e12, 4)
+        peak = peak_flops_per_s()
+        if peak and not _ON_CPU:
+            out["mfu"] = round(achieved / peak, 5)
+            out["mfu_note"] = "f32 compute vs bf16 dense peak per chip"
+
     if _ON_CPU:
         out["note"] = "TPU unreachable at bench time; measured on host CPU"
     print(json.dumps(out))

@@ -171,3 +171,20 @@ def synthetic_ecog(seed=0, n_channel=78, n_steps=800):
         [n_steps] * n_channel, [1] * n_channel, n_channel, t_max=float(n_steps), seed=seed
     )
     return X_list, Y_list
+
+
+def surrogate_ecog_channel_indexes(n_channel=78):
+    """Deterministic surrogate for the private `78_channel_indexes.pickle`
+    (reference NMGP_ECoG_full.py:202-205): electrode IDs into the 128-channel
+    array for each modeled output.  The real set is unknown, but it must
+    contain all 25 electrode IDs of the 5x5 analysis grid
+    (`posterior_analysis.ECOG_GRID_CHANNEL_IDS`) — so the surrogate places
+    the grid IDs first (sorted) and fills with the lowest remaining IDs."""
+    from .posterior_analysis import ECOG_GRID_CHANNEL_IDS
+
+    grid_ids = sorted(int(v) for v in np.unique(ECOG_GRID_CHANNEL_IDS))
+    rest = [i for i in range(128) if i not in set(grid_ids)]
+    ids = (grid_ids + rest)[:n_channel]
+    if len(ids) < n_channel:  # pragma: no cover - n_channel > 128
+        raise ValueError(f"cannot build {n_channel} surrogate channel ids")
+    return np.asarray(ids)

@@ -28,7 +28,140 @@ __all__ = [
     "plot_mean_and_ci",
     "plot_posterior_bands",
     "plot_correlation_heatmaps",
+    "ECOG_GRID_CHANNEL_IDS",
+    "direction_correlation_curves",
+    "distance_correlation_curves",
+    "plot_spatial_correlation",
 ]
+
+# The reference ECoG workload's 5x5 electrode grid, as electrode IDs into the
+# 128-channel array (reference NMGP_ECoG_full.py:465 `matrix_index`).  Rows
+# index one grid axis, columns the other; combined with `channel_indexes`
+# (the 78 retained channels) it localizes each modeled output on the cortex.
+ECOG_GRID_CHANNEL_IDS = np.array(
+    [
+        [53, 51, 49, 26, 18],
+        [52, 50, 48, 24, 16],
+        [74, 76, 78, 102, 110],
+        [75, 77, 79, 100, 108],
+        [91, 93, 95, 98, 106],
+    ]
+)
+
+
+def _grid_to_output_index(matrix_index, channel_indexes):
+    """(5, 5) electrode-ID grid -> (5, 5) output-dimension indices via the
+    channel_indexes id->position map (reference `channel_dict`,
+    NMGP_ECoG_full.py:460-462)."""
+    matrix_index = np.asarray(matrix_index)
+    channel_dict = {int(cid): i for i, cid in enumerate(np.asarray(channel_indexes))}
+    try:
+        return np.vectorize(lambda cid: channel_dict[int(cid)])(matrix_index)
+    except KeyError as e:  # pragma: no cover - config error path
+        raise ValueError(
+            f"grid electrode id {e} not present in channel_indexes"
+        ) from None
+
+
+def direction_correlation_curves(est_corrs, matrix_index, channel_indexes):
+    """Mean inferred-correlation time curve between each electrode and its
+    {left, top, right, bottom} grid neighbor.
+
+    est_corrs: (G, D, D) posterior-mean correlation matrices on a time grid
+    (mean over `sample_FY` draws).  Returns {"left": (G,), "top": ..,
+    "right": .., "bottom": ..}.  Matches the reference's direction analysis
+    (NMGP_ECoG_full.py:468-511): "top" is j+1, "bottom" j-1, "right" i+1,
+    "left" i-1 in grid coordinates.
+    """
+    est_corrs = np.asarray(est_corrs)
+    grid = _grid_to_output_index(matrix_index, channel_indexes)
+    n_grid = grid.shape[0]
+    curves = {"left": [], "top": [], "right": [], "bottom": []}
+    for i in range(n_grid):
+        for j in range(grid.shape[1]):
+            c = grid[i, j]
+            if i - 1 >= 0:
+                curves["left"].append(est_corrs[:, c, grid[i - 1, j]])
+            if j + 1 < grid.shape[1]:
+                curves["top"].append(est_corrs[:, c, grid[i, j + 1]])
+            if i + 1 < n_grid:
+                curves["right"].append(est_corrs[:, c, grid[i + 1, j]])
+            if j - 1 >= 0:
+                curves["bottom"].append(est_corrs[:, c, grid[i, j - 1]])
+    return {k: np.stack(v).mean(axis=0) for k, v in curves.items()}
+
+
+def distance_correlation_curves(
+    est_corrs, matrix_index, channel_indexes, dists=(1, 2, 3)
+):
+    """Mean inferred-correlation time curve for electrode pairs at grid
+    distance d (axis-aligned: right and top offsets), for each d in `dists`.
+
+    Returns {d: (G,)}.  Matches the reference's distance analysis
+    (NMGP_ECoG_full.py:513-544 `analysis_dist`).
+    """
+    est_corrs = np.asarray(est_corrs)
+    grid = _grid_to_output_index(matrix_index, channel_indexes)
+    n_grid = grid.shape[0]
+    out = {}
+    for dist in dists:
+        pair_curves = []
+        for i in range(n_grid - dist):
+            for j in range(grid.shape[1] - dist):
+                c = grid[i, j]
+                pair_curves.append(est_corrs[:, c, grid[i + dist, j]])
+                pair_curves.append(est_corrs[:, c, grid[i, j + dist]])
+        out[int(dist)] = np.stack(pair_curves).mean(axis=0)
+    return out
+
+
+def plot_spatial_correlation(
+    times,
+    direction_curves,
+    distance_curves,
+    save_dir,
+    prefix="ecog",
+):
+    """Save the two reference figures: the 3x3 compass layout of neighbor
+    direction curves (`corrs.png`, NMGP_ECoG_full.py:499-510) and the
+    per-distance row (`corrs_dist.png`, :526-544).  Returns the two paths."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(save_dir, exist_ok=True)
+    times = np.asarray(times)
+
+    fig, axes = plt.subplots(nrows=3, ncols=3, figsize=(9, 7))
+    for ax in axes.ravel():
+        ax.axis("off")
+    placement = {"top": (0, 1), "left": (1, 0), "right": (1, 2), "bottom": (2, 1)}
+    for name, (r, c) in placement.items():
+        ax = axes[r, c]
+        ax.axis("on")
+        ax.plot(times, direction_curves[name])
+        ax.set_title(name)
+    path_dir = os.path.join(save_dir, f"{prefix}_corrs.png")
+    fig.tight_layout()
+    fig.savefig(path_dir)
+    plt.close(fig)
+
+    dists = sorted(distance_curves)
+    fig, axes = plt.subplots(nrows=1, ncols=len(dists), figsize=(4 * len(dists), 4))
+    axes = np.atleast_1d(axes)
+    for ax, d in zip(axes, dists):
+        ax.plot(times, distance_curves[d])
+        ax.set_xlabel("Time")
+        ax.set_ylabel("Correlation coefficient")
+        ax.set_title(f"distance {d}")
+    path_dist = os.path.join(save_dir, f"{prefix}_corrs_dist.png")
+    fig.tight_layout()
+    fig.savefig(path_dist)
+    plt.close(fig)
+    return path_dir, path_dist
 
 
 def _lvec_to_tril_np(v, m):

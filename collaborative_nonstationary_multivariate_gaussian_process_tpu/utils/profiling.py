@@ -20,7 +20,15 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
-__all__ = ["PhaseTimer", "rss_mb", "print_mem", "trace", "device_memory_stats"]
+__all__ = [
+    "PhaseTimer",
+    "rss_mb",
+    "print_mem",
+    "trace",
+    "device_memory_stats",
+    "flops_of_jitted",
+    "peak_flops_per_s",
+]
 
 
 def rss_mb() -> float:
@@ -100,6 +108,65 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def flops_of_jitted(fn, *args, **kwargs) -> float:
+    """FLOPs of ONE invocation of a jitted function, via XLA HLO cost
+    analysis of the compiled executable.
+
+    Caveat that shapes how benches must use this: XLA's HloCostAnalysis
+    visits a While/Scan body ONCE (it does not multiply by trip count), so
+    cost-analyze a single train step and multiply by measured steps/s —
+    never cost-analyze the fused multi-epoch scan.
+
+    Returns NaN when the backend exposes no cost model (e.g. some remote
+    PJRT plugins)."""
+    try:
+        lowered = fn.lower(*args, **kwargs)
+    except Exception:
+        return float("nan")
+    for get in (
+        lambda: lowered.compile().cost_analysis(),
+        lambda: lowered.cost_analysis(),
+    ):
+        try:
+            ca = get()
+        except Exception:
+            continue
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        if ca and "flops" in ca:
+            return float(ca["flops"])
+    return float("nan")
+
+
+# Peak DENSE bf16 matmul FLOP/s per chip, public spec-sheet numbers.  The
+# MFU convention reports achieved-FLOPs / bf16-dense-peak even for f32
+# compute (f32 runs at <= half this rate through the MXU, so f32 MFU
+# measured against the bf16 peak is a conservative utilization number).
+_PEAK_FLOPS_PER_CHIP = {
+    "v6e": 918e12,
+    "v5p": 459e12,
+    "v5e": 197e12,
+    "v5 lite": 197e12,  # device_kind string for v5e on some runtimes
+    "v4": 275e12,
+}
+
+
+def peak_flops_per_s() -> Optional[float]:
+    """Peak bf16 dense FLOP/s of the attached accelerator chip, or None on
+    CPU / unrecognized hardware (callers should then omit MFU)."""
+    import jax
+
+    try:
+        d = jax.devices()[0]
+    except Exception:  # pragma: no cover - no backend
+        return None
+    kind = (getattr(d, "device_kind", "") or "").lower()
+    for name, peak in _PEAK_FLOPS_PER_CHIP.items():
+        if name in kind:
+            return peak
+    return None
 
 
 def device_memory_stats():

@@ -90,6 +90,25 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--spatial-analysis",
+        action="store_true",
+        help="ECoG only: electrode-grid direction/distance correlation "
+        "analysis of the inferred correlation process "
+        "(reference NMGP_ECoG_full.py:456-546)",
+    )
+    p.add_argument(
+        "--spatial-grid-points",
+        type=int,
+        default=200,
+        help="time-grid resolution for the spatial correlation analysis",
+    )
+    p.add_argument(
+        "--channel-indexes-path",
+        default=None,
+        help="pickle of electrode IDs per output (real data); default: "
+        "deterministic surrogate containing the 5x5 analysis grid",
+    )
     args = p.parse_args()
 
     cfg = WORKLOADS[args.workload]
@@ -164,6 +183,53 @@ def main():
         y_test = np.concatenate([Yt[i] for i in keep])
         rmse, ci, cov = predictive_summary(ys, y_test)
         out.update(rmse_test=float(rmse), ci_length=float(ci), coverage=float(np.mean(cov)))
+
+    if args.spatial_analysis:
+        if args.workload != "ecog":
+            raise SystemExit("--spatial-analysis is an ECoG workload analysis")
+        from collaborative_nonstationary_multivariate_gaussian_process_tpu.models.predict import (
+            sample_FY,
+        )
+        from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils import (
+            etl,
+        )
+        from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.posterior_analysis import (
+            ECOG_GRID_CHANNEL_IDS,
+            direction_correlation_curves,
+            distance_correlation_curves,
+            plot_spatial_correlation,
+        )
+
+        if args.channel_indexes_path:
+            with open(args.channel_indexes_path, "rb") as f:
+                channel_indexes = np.asarray(pickle.load(f))
+        else:
+            channel_indexes = etl.surrogate_ecog_channel_indexes(D)
+
+        grids = np.linspace(0.0, t_max, args.spatial_grid_points)
+        # posterior-mean correlation process on the grid: mean over sample_FY
+        # draws of the per-point corr matrices (reference est_corrs_train,
+        # NMGP_ECoG_full.py:321-339)
+        _, _, corrs = sample_FY(
+            res.params, res.Z, grids, n_sample=args.n_sample, seed=args.seed
+        )
+        est_corrs = corrs.mean(axis=0)  # (G, D, D)
+        direction = direction_correlation_curves(
+            est_corrs, ECOG_GRID_CHANNEL_IDS, channel_indexes
+        )
+        distance = distance_correlation_curves(
+            est_corrs, ECOG_GRID_CHANNEL_IDS, channel_indexes
+        )
+        save_dir = os.path.dirname(args.out) if args.out else "results"
+        p_dir, p_dist = plot_spatial_correlation(grids, direction, distance, save_dir)
+        out["spatial_analysis"] = {
+            "grid_points": int(args.spatial_grid_points),
+            "direction_mean": {k: float(np.mean(v)) for k, v in direction.items()},
+            "direction_curves": {k: v.tolist() for k, v in direction.items()},
+            "distance_mean": {str(k): float(np.mean(v)) for k, v in distance.items()},
+            "distance_curves": {str(k): v.tolist() for k, v in distance.items()},
+            "figures": [p_dir, p_dist],
+        }
 
     print(json.dumps(out))
     if args.out:
