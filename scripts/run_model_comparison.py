@@ -4,9 +4,11 @@ The reference compares models with AIC/BIC/DIC over external sampler
 histories (SIM_code/Utility/model_validation.py); here SMC gives the log
 marginal likelihood directly (BASELINE.json: "SMC for model comparison").
 
-Generates the SIM_MNTS nonstationary 2-output series and compares:
+Generates the SIM_MNTS nonstationary 2-output series and compares all three
+reference variants (SIM_code/Utility/model_validation.py:9-51 scope):
   - LMC (stationary):   should lose on nonstationary data
   - SNMGP (whitened):   nonstationary lengthscale + signal-sd processes
+  - SVC/GNMGP (whitened): fully varying covariance L(x)
 
 Usage: python3 scripts/run_model_comparison.py [--N 48] [--particles 512] [--cpu]
 """
@@ -159,8 +161,61 @@ def main():
         wall_s=time.time() - t0,
     )
 
+    # ---------------------- SVC / GNMGP (whitened) -------------------------
+    # params (eta space): [eta_tilde_l(N), eta_uL(N*T), tilde_s2e] — every
+    # GP-distributed block whitened by its prior Cholesky (svc_unwhiten),
+    # N(0, I) priors on the etas, invgamma-through-log on sigma2_err.
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.distributions import (
+        mvn_logpdf_dense,
+    )
+
+    svc_mu_l, svc_mu_L = hyp["mu_tilde_l"], 0.0
+    chol_l_svc, chol_L_svc = ld.svc_whiten_chols(
+        x, hyp["alpha_tilde_l"], hyp["beta_tilde_l"], 1.0, 1.0
+    )
+    dim_svc = N + N * T + 1
+    eye_nm = jnp.eye(N * M, dtype=x.dtype)
+
+    def svc_log_prior(q):
+        eta = q[:-1]
+        lp = jnp.sum(-0.5 * eta**2 - 0.5 * jnp.log(2 * jnp.pi))
+        s2e = jnp.exp(q[-1])
+        lp += inverse_gamma_logpdf(s2e, 1.0, 1.0) + q[-1]
+        return lp
+
+    def svc_log_like(q):
+        p_ = ld.svc_unwhiten(q, x, svc_mu_l, svc_mu_L, chol_l_svc, chol_L_svc, M)
+        K, _ = ld.svc_covariance(p_.tilde_l, p_.uL_vecs, x)
+        S = K + jnp.exp(p_.tilde_sigma2_err) * eye_nm
+        return mvn_logpdf_dense(y, jnp.zeros_like(y), S)
+
+    def svc_prior_sampler(k, n):
+        k1, k2 = jax.random.split(k)
+        eta = jax.random.normal(k1, (n, dim_svc - 1))
+        g = jax.random.gamma(k2, 1.0, (n,))
+        ts2e = jnp.log(1.0 / g)[:, None]
+        return jnp.concatenate([eta, ts2e], axis=1)
+
+    t0 = time.time()
+    _, info = jax.jit(
+        lambda q0, k: run_smc(
+            svc_log_prior, svc_log_like, q0, k, num_mutations=args.mutations, num_leapfrog=16
+        )
+    )(svc_prior_sampler(jax.random.PRNGKey(5), P), jax.random.PRNGKey(6))
+    results["svc"] = dict(
+        log_z=float(info["log_z"]),
+        stages=int(info["num_stages"]),
+        wall_s=time.time() - t0,
+    )
+
     results["log_bayes_factor_snmgp_vs_lmc"] = (
         results["snmgp"]["log_z"] - results["lmc"]["log_z"]
+    )
+    results["log_bayes_factor_svc_vs_lmc"] = (
+        results["svc"]["log_z"] - results["lmc"]["log_z"]
+    )
+    results["best_model"] = max(
+        ("lmc", "snmgp", "svc"), key=lambda m: results[m]["log_z"]
     )
     print(json.dumps(results))
     if args.out:
