@@ -28,73 +28,88 @@ __all__ = [
     "synthetic_ecog",
 ]
 
-PM25_ATTRIBUTES = ("PM2.5", "DEWP", "TEMP", "PRES", "Iws", "Is")  # 6 standardized
+# The six modeled attributes, as named in the Beijing CSV header
+# (notebook/PM25.ipynb cell 3: `attributes = ['PM_US Post', 'DEWP', 'HUMI',
+# 'PRES', 'TEMP', 'Iws']`).
+PM25_ATTRIBUTES = ("PM_US Post", "DEWP", "HUMI", "PRES", "TEMP", "Iws")
 
 
 def _standardize(a):
-    return (a - np.nanmean(a)) / np.nanstd(a)
+    """sklearn `preprocessing.scale` semantics: zero mean, unit (population)
+    std — the notebooks standardize every series this way."""
+    return (a - np.mean(a)) / np.std(a)
 
 
-def etl_pm25(csv_path: str, sub_sample: Optional[int] = 12, test_frac=0.032):
-    """Beijing PM2.5 CSV -> ([X_list, Y_list, Xt_list, Yt_list]) pickles.
+def _holdout_first_output(X_list, Y_list, n_rows, test_index):
+    """The notebooks' split shape: hold out rows of OUTPUT 0 only; every
+    other output keeps all of its observations (PM25.ipynb cell 5/6,
+    HCP.ipynb cell 4)."""
+    train_index = np.setdiff1d(np.arange(n_rows), test_index)
+    Xt = [X_list[0][test_index]] + [np.array([]) for _ in X_list[1:]]
+    Yt = [Y_list[0][test_index]] + [np.array([]) for _ in Y_list[1:]]
+    Xtr = [X_list[0][train_index]] + list(X_list[1:])
+    Ytr = [Y_list[0][train_index]] + list(Y_list[1:])
+    return Xtr, Ytr, Xt, Yt
 
-    Mirrors notebook/PM25.ipynb: 6 standardized attributes on the hourly
-    time axis; `sub_sample` keeps every k-th hour (the "sub" dataset).
+
+def etl_pm25(csv_path: str, sub_rows: Optional[int] = None, seed: int = 0):
+    """Beijing PM2.5 CSV -> (X_list, Y_list, Xt_list, Yt_list).
+
+    Mirrors notebook/PM25.ipynb exactly:
+      - attributes `PM_US Post, DEWP, HUMI, PRES, TEMP, Iws` (cell 3);
+      - input coordinate = the `No` row-number column at each attribute's
+        non-NaN positions (cell 3);
+      - per-attribute standardization AFTER the NaN drop (cell 3);
+      - `sub_rows=5000` restricts to the FIRST 5000 rows (the "sub"
+        dataset, cell 3 `df.iloc[:5000]`);
+      - test split = random 20% of attribute 0 (PM_US Post) only; all other
+        attributes fully in train (cells 5-6).  Committed shape oracles:
+        full 302,537 train / 10,077 test; sub 28,768 / 942.
     """
     import csv as _csv
 
-    rows = []
     with open(csv_path) as f:
-        reader = _csv.DictReader(f)
-        for r in reader:
-            rows.append(r)
-    t = np.arange(len(rows), dtype=float)
-    cols = {}
-    keymap = {"PM2.5": "pm2.5", "DEWP": "DEWP", "TEMP": "TEMP", "PRES": "PRES", "Iws": "Iws", "Is": "Is"}
+        rows = list(_csv.DictReader(f))
+    if sub_rows:
+        rows = rows[:sub_rows]
+    no = np.array([float(r["No"]) for r in rows])
+    X_list, Y_list = [], []
     for name in PM25_ATTRIBUTES:
         raw = np.array(
-            [float(r[keymap[name]]) if r[keymap[name]] not in ("", "NA") else np.nan for r in rows]
+            [
+                float(r[name]) if r[name] not in ("", "NA", "NaN") else np.nan
+                for r in rows
+            ]
         )
-        cols[name] = raw
-    if sub_sample:
-        t = t[::sub_sample]
-        cols = {k: v[::sub_sample] for k, v in cols.items()}
-    X_list, Y_list, Xt_list, Yt_list = [], [], [], []
-    rng = np.random.RandomState(0)
-    for name in PM25_ATTRIBUTES:
-        v = cols[name]
-        keep = np.isfinite(v)
-        x, y = t[keep], _standardize(v[keep])
-        n_test = max(int(test_frac * x.shape[0]), 1)
-        te = np.sort(rng.choice(x.shape[0], n_test, replace=False))
-        tr = np.setdiff1d(np.arange(x.shape[0]), te)
-        X_list.append(x[tr])
-        Y_list.append(y[tr])
-        Xt_list.append(x[te])
-        Yt_list.append(y[te])
-    return X_list, Y_list, Xt_list, Yt_list
+        keep = np.isfinite(raw)
+        X_list.append(no[keep])
+        Y_list.append(_standardize(raw[keep]))
+    n0 = X_list[0].shape[0]
+    rng = np.random.RandomState(seed)
+    test_index = rng.choice(n0, int(0.2 * n0), replace=False)
+    return _holdout_first_output(X_list, Y_list, n0, test_index)
 
 
-def etl_hcp(txt_path: str, n_series: int = 15, test_per_series: int = 64):
-    """HCP motor-task series file (whitespace table, series x time) ->
-    per-series random holdout (notebook/HCP.ipynb: 15 series x 4800)."""
+def etl_hcp(txt_path: str, seed: int = 0):
+    """HCP motor-task series file (whitespace table, time x series) ->
+    (X_list, Y_list, Xt_list, Yt_list).
+
+    Mirrors notebook/HCP.ipynb exactly: each of the M series standardized on
+    the shared `arange(N)` time axis (cell 3); test split = random 20% of
+    SERIES 0 only (cell 4).  Committed shape oracle for 4800 x 15:
+    71,040 train / 960 test."""
     arr = np.loadtxt(txt_path)
+    if arr.ndim == 1:
+        arr = arr[:, None]
     if arr.shape[0] < arr.shape[1]:
         arr = arr.T  # (time, series)
-    arr = arr[:, :n_series]
-    N = arr.shape[0]
+    N, M = arr.shape
     t = np.arange(N, dtype=float)
-    rng = np.random.RandomState(0)
-    X_list, Y_list, Xt_list, Yt_list = [], [], [], []
-    for i in range(n_series):
-        y = _standardize(arr[:, i])
-        te = np.sort(rng.choice(N, test_per_series, replace=False))
-        tr = np.setdiff1d(np.arange(N), te)
-        X_list.append(t[tr])
-        Y_list.append(y[tr])
-        Xt_list.append(t[te])
-        Yt_list.append(y[te])
-    return X_list, Y_list, Xt_list, Yt_list
+    X_list = [t] * M
+    Y_list = [_standardize(arr[:, i]) for i in range(M)]
+    rng = np.random.RandomState(seed)
+    test_index = rng.choice(N, int(0.2 * N), replace=False)
+    return _holdout_first_output(X_list, Y_list, N, test_index)
 
 
 def etl_ecog(
