@@ -54,9 +54,28 @@ def main():
         float(r[2][-1])
         rates.append(steps / (time.time() - t0))
     rate = float(np.median(rates))
-    print(json.dumps(dict(workload="ecog_synthetic", D=D, N=N, M=a.M, B=a.B,
-                          steps=steps, steps_per_s=rate,
-                          step_ms=1000 / rate)))
+    out = dict(workload="ecog_synthetic", D=D, N=N, M=a.M, B=a.B,
+               steps=steps, steps_per_s=rate, step_ms=1000 / rate)
+
+    # FLOPs/MFU: cost-analyze ONE train step (XLA counts loop bodies once,
+    # so the epoch scan can't be analyzed) x measured steps/s vs chip peak.
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.dsvi import (
+        make_train_step)
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.profiling import (
+        flops_of_jitted, peak_flops_per_s)
+
+    step_fn = make_train_step(opt, float(N), 1e-4)
+    fl = flops_of_jitted(step_fn, params, st, mask, Z, x[: a.B], y[: a.B],
+                         idx[: a.B], jnp.ones(a.B, jnp.float32),
+                         jax.random.PRNGKey(9))
+    if np.isfinite(fl):
+        out["flops_per_step"] = round(fl)
+        out["achieved_tflops_per_s"] = round(fl * rate / 1e12, 4)
+        peak = peak_flops_per_s()
+        if peak:
+            out["mfu"] = round(fl * rate / peak, 5)
+            out["mfu_note"] = "f32 compute vs bf16 dense peak per chip"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
