@@ -164,8 +164,17 @@ def _synthetic_multioutput(n_per_out, n_test_per_out, D, t_max, seed, freq=3.0):
     return X_list, Y_list, Xt_list, Yt_list
 
 
-def synthetic_pm25(seed=0):
-    """28,768/942 obs over 6 outputs (PM25-sub shape)."""
+def synthetic_pm25(seed=0, full=False):
+    """PM25-shaped surrogate over 6 outputs.
+
+    full=False: 28,768/942 obs (the "sub" dataset, notebook/PM25.ipynb
+    cell 6).  full=True: 302,537/10,077 obs with the notebook's real
+    per-attribute sizes and output-0-only test split (cell 5): train
+    {40310, 52579, 52245, 52245, 52579, 52579}, test {10077, 0, ...}."""
+    if full:
+        per = [40310, 52579, 52245, 52245, 52579, 52579]
+        pert = [10077, 0, 0, 0, 0, 0]
+        return _synthetic_multioutput(per, pert, 6, t_max=52584.0, seed=seed)
     per = [28768 // 6] * 6
     per[0] += 28768 - sum(per)
     pert = [942 // 6] * 6

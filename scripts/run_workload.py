@@ -50,7 +50,7 @@ WORKLOADS = {
 }
 
 
-def load_data(name, data_path):
+def load_data(name, data_path, full=False):
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils import etl
 
     if data_path:
@@ -58,7 +58,7 @@ def load_data(name, data_path):
             X_list, Y_list, Xt_list, Yt_list = pickle.load(f)
         return X_list, Y_list, Xt_list, Yt_list, "real"
     if name == "pm25":
-        return (*etl.synthetic_pm25(), "synthetic")
+        return (*etl.synthetic_pm25(full=full), "synthetic-full" if full else "synthetic")
     if name == "hcp":
         return (*etl.synthetic_hcp(), "synthetic")
     if name == "ecog":
@@ -91,6 +91,12 @@ def main():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument(
+        "--full",
+        action="store_true",
+        help="pm25: full-dataset shape (302,537 train / 10,077 test; "
+        "reference notebook/PM25.ipynb cell 5) instead of the sub shape",
+    )
+    p.add_argument(
         "--spatial-analysis",
         action="store_true",
         help="ECoG only: electrode-grid direction/distance correlation "
@@ -117,7 +123,9 @@ def main():
     itnum = args.itnum or cfg["itnum"]
     batch_size = args.batchsize or cfg["batch_sizes"][0]
 
-    X_list, Y_list, Xt_list, Yt_list, source = load_data(args.workload, args.data_path)
+    X_list, Y_list, Xt_list, Yt_list, source = load_data(
+        args.workload, args.data_path, full=args.full
+    )
     D = len(X_list)
     t_max = max(float(np.max(np.concatenate([np.ravel(v) for v in X_list if len(v)]))), 1.0)
     z = np.linspace(0, t_max, M)
