@@ -258,6 +258,12 @@ def make_phase(log_prob_fn, cmean, max_num_steps, target_accept, adam_lr, adapt)
             m2 = m2 + jnp.where(in_window, cmean(st.position**2), 0.0)
             cnt = cnt + jnp.where(in_window, 1.0, 0.0)
         new_carry = CheesCarry(st, da, adam, log_T, carry.inv_mass, m1, m2, cnt)
+        if adapt:
+            # warmup: draws are discarded — emit only the acceptance stats
+            # (materializing (n, C, dim) warmup positions costs device
+            # memory and, in the streamed drivers, a host transfer per
+            # segment that halved 1024-chain throughput)
+            return new_carry, aps
         return new_carry, (st.position, aps, st.log_prob, nsteps)
 
     return phase_body
@@ -392,17 +398,15 @@ def chees_warmup(
     in_w = jnp.arange(num_warmup) >= half
     keys = jax.random.split(k_warm, num_warmup)
     if traced:
-        carry, outs = segment(carry, (halton[:num_warmup], keys, in_w))
-        warm_aps = outs[1]
+        carry, warm_aps = segment(carry, (halton[:num_warmup], keys, in_w))
     else:
-        carry, outs = _run_segments(
+        carry, warm_aps = _run_segments(
             segment,
             carry,
             (halton[:num_warmup], keys, in_w),
             max_iters_per_dispatch,
             collect=True,
         )
-        warm_aps = outs[1]
 
     # ---- mass matrix from pooled cross-chain warmup variance --------------
     carry = finish_mass(carry, mass_adapt and num_warmup > 10)

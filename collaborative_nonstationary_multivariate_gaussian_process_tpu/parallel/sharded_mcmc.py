@@ -178,11 +178,16 @@ def run_chees_sharded(
     )(init_positions)
 
     # ---- shard_mapped segment builders ------------------------------------
-    out_seg_spec = (P(None, CHAIN_AXIS), P(None, CHAIN_AXIS), P(None, CHAIN_AXIS), P())
-
     def make_segment(adapt):
         phase = chees_mod.make_phase(
             log_prob_fn, cmean, max_num_steps, target_accept, adam_lr, adapt
+        )
+        # warmup segments emit only acceptance probs; sampling segments emit
+        # (positions, aps, log_probs, num_steps)
+        out_spec = (
+            P(None, CHAIN_AXIS)
+            if adapt
+            else (P(None, CHAIN_AXIS), P(None, CHAIN_AXIS), P(None, CHAIN_AXIS), P())
         )
 
         def seg_block(c, halton, keys, in_w):
@@ -195,7 +200,7 @@ def run_chees_sharded(
                 seg_block,
                 mesh=mesh,
                 in_specs=(carry_spec, P(), P(), P()),
-                out_specs=(carry_spec, out_seg_spec),
+                out_specs=(carry_spec, out_spec),
             )
         )
 
@@ -229,7 +234,7 @@ def run_chees_sharded(
     carry, wouts = drive(
         seg_adapt, carry, (halton[:num_warmup], keys, in_w), collect=True
     )
-    warm_accept_mean = float(np.mean(wouts[1]))
+    warm_accept_mean = float(np.mean(wouts))
 
     # ---- mass matrix + phase 2 re-adaptation ------------------------------
     carry = jax.tree_util.tree_map(jnp.asarray, carry)

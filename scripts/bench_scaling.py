@@ -37,6 +37,15 @@ def main():
     p.add_argument("--samples", type=int, default=100)
     p.add_argument("--out", default=None)
     p.add_argument("--sampler", choices=["nuts", "chees"], default="nuts")
+    p.add_argument(
+        "--strong",
+        action="store_true",
+        help="fixed TOTAL chains across device counts (strong scaling). "
+        "On the oversubscribed virtual CPU mesh this is the probative "
+        "mode: total compute and silicon are constant, so ideal time is "
+        "flat and any slowdown vs 1 device is pure sharding/collective "
+        "overhead (the quantity that limits real pod scaling).",
+    )
     args = p.parse_args()
 
     import jax
@@ -56,6 +65,13 @@ def main():
         sim_mnts,
     )
 
+    # Attach to the backend FIRST with a trivial op: on the axon TPU a cold
+    # grant has been measured taking ~850 s — timing it inside first_call_s
+    # would misattribute it to compile (round-2 postmortem, docs/DESIGN.md §7).
+    t0 = time.time()
+    float(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8))))
+    attach_s = time.time() - t0
+
     n_avail = jax.device_count()
     device_counts = args.devices or [d for d in (1, 2, 4, 8) if d <= n_avail]
 
@@ -72,9 +88,11 @@ def main():
 
     results = []
     base_rate = None
+    base_time = None
+    total_chains_strong = max(device_counts) * args.chains_per_device
     for nd in device_counts:
         mesh = make_mesh(data=1, chain=nd)
-        n_chains = nd * args.chains_per_device
+        n_chains = total_chains_strong if args.strong else nd * args.chains_per_device
         init = 0.05 * jax.random.normal(jax.random.PRNGKey(0), (n_chains, dim))
         def go(seed):
             if args.sampler == "chees":
@@ -100,13 +118,18 @@ def main():
         rate = total_draws / dt
         if base_rate is None:
             base_rate = rate / nd  # per-device baseline at 1 device
-        eff = rate / (nd * base_rate)
-        results.append(
-            dict(sampler=args.sampler, devices=nd, chains=n_chains, draws=total_draws, wall_s=dt,
-                 samples_per_s=rate, efficiency=eff,
-                 first_call_s=compile_and_run)
-        )
-        print(json.dumps(results[-1]))
+            base_time = dt
+        row = dict(sampler=args.sampler, devices=nd, chains=n_chains,
+                   draws=total_draws, wall_s=dt, samples_per_s=rate,
+                   first_call_s=compile_and_run, attach_s=attach_s)
+        if args.strong:
+            # fixed total work on fixed silicon: slowdown vs 1 device is
+            # pure sharding/collective overhead
+            row["sharding_overhead"] = dt / base_time - 1.0
+        else:
+            row["efficiency"] = rate / (nd * base_rate)
+        results.append(row)
+        print(json.dumps(row))
 
     if args.out:
         with open(args.out, "w") as f:
