@@ -21,6 +21,27 @@ from .cnmgp import CNMGPParams
 
 __all__ = ["sample_Y", "sample_FY", "predict_Y"]
 
+# Draws per XLA dispatch in the vmapped samplers.  Each draw materializes
+# the per-group conditioning intermediates (O(D^2 * B * M) floats at ECoG
+# scale); an unchunked vmap over hundreds of keys OOMs the 16 GB chip
+# (observed: 16.4 GB for 32 draws at D=78/M=200/B=62k) and violates the
+# bounded-dispatch budget (docs/DESIGN.md §7).  Chunks share one compile.
+DRAWS_PER_DISPATCH = 8
+
+
+def _chunked_draws(draw_fn, keys, n_out):
+    """Run `draw_fn(keys_chunk)` in DRAWS_PER_DISPATCH-sized chunks and
+    np-concatenate the outputs (one compile for full chunks + at most one
+    ragged tail)."""
+    outs = [[] for _ in range(n_out)]
+    n = keys.shape[0]
+    step = DRAWS_PER_DISPATCH
+    for start in range(0, n, step):
+        res = draw_fn(keys[start : start + step])
+        for acc, r in zip(outs, res):
+            acc.append(np.asarray(r))
+    return tuple(np.concatenate(a, axis=0) for a in outs)
+
 
 def _flat_inputs(X_list: Sequence, index: Optional[Sequence[int]], dtype):
     xs, idxs = [], []
@@ -57,8 +78,7 @@ def sample_Y(
             partial(cnmgp.sample_y_once, jitter=jitter), in_axes=(None, None, None, None, 0)
         )
     )
-    ys, ls, gs, tes = draw(params, Z, x, idx, keys)
-    return np.asarray(ys), np.asarray(ls), np.asarray(gs), np.asarray(tes)
+    return _chunked_draws(lambda k: draw(params, Z, x, idx, k), keys, 4)
 
 
 def sample_FY(
@@ -78,8 +98,7 @@ def sample_FY(
     draw = jax.jit(
         jax.vmap(partial(cnmgp.sample_fy_once, jitter=jitter), in_axes=(None, None, None, 0))
     )
-    tes, ys, corrs = draw(params, Z, x, keys)
-    return np.asarray(tes), np.asarray(ys), np.asarray(corrs)
+    return _chunked_draws(lambda k: draw(params, Z, x, k), keys, 3)
 
 
 def predict_Y(

@@ -64,9 +64,12 @@ PALLAS_MIN_ELEMENTS = 1 << 20
 
 
 def _use_pallas(x1, x2):
-    import jax
+    from ..config import is_tpu
 
-    if jax.default_backend() != "tpu":
+    # NB must include the "axon" PJRT plugin backend — `default_backend()
+    # == "tpu"` alone silently disabled every Pallas dispatch on this
+    # image's chip (config.is_tpu covers both).
+    if not is_tpu():
         return False
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)

@@ -332,8 +332,42 @@ def mgp_mean_var_white(A, Lp_inv, d11, mu, scale_tril):
     mean = jnp.einsum("mn,...m->...n", A, half_mu)
     base = jnp.maximum(d11 - jnp.sum(A * A, axis=0), 0.0)
     W = jnp.einsum("ab,...bc->...ac", Lp_inv, scale_tril)
+    return mean, base + _quadform_diag(A, W), W
+
+
+# Above this many elements of the (G, N, M) intermediate, dispatch the
+# variance quadratic form to the fused Pallas kernel on TPU: XLA's lowering
+# is HBM-bound (docs/DESIGN.md §8; 615 MB intermediate at ECoG scale), the
+# kernel keeps it in VMEM.  Below the threshold the launch overhead and the
+# XLA fusion win (flagship scale is latency-bound anyway).
+QUADFORM_PALLAS_MIN_ELEMENTS = 1 << 23
+
+
+def _quadform_diag(A, W):
+    """sum_k (einsum("mn,...mk->...nk", A, W))^2 over k -> (..., N), with
+    auto-dispatch to the fused Pallas kernel for large f32 TPU workloads."""
+    from ..config import is_tpu
+
+    batch_shape = W.shape[:-2]
+    n_batch = 1
+    for s in batch_shape:
+        n_batch *= s
+    use_pallas = (
+        is_tpu()
+        and A.dtype == jnp.float32
+        and W.dtype == jnp.float32
+        and A.ndim == 2
+        and len(batch_shape) >= 1
+        and n_batch * A.shape[1] * W.shape[-1] >= QUADFORM_PALLAS_MIN_ELEMENTS
+    )
+    if use_pallas:
+        from .pallas_kernels import quadform_diag_pallas
+
+        m = W.shape[-1]
+        V = quadform_diag_pallas(A, W.reshape((n_batch, m, m)))
+        return V.reshape(batch_shape + (A.shape[1],))
     C = jnp.einsum("mn,...mk->...nk", A, W)
-    return mean, base + jnp.sum(C * C, axis=-1), W
+    return jnp.sum(C * C, axis=-1)
 
 
 def kl_gaussian_white(mu_q, scale_tril_q, W, logdet_p, jtrace, Lp_inv, jitter=DSVI_JITTER):

@@ -33,6 +33,7 @@ __all__ = [
     "kron_mv_pallas",
     "cholesky_pallas",
     "chol_inv_pallas",
+    "quadform_diag_pallas",
 ]
 
 _TILE = 128
@@ -425,3 +426,175 @@ def _chol_bwd(interpret, L, Lbar):
 
 
 _chol_forward.defvjp(_chol_fwd, _chol_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused batched quadratic-form diagonal: V[g, n] = || W[g]^T A[:, n] ||^2
+# ---------------------------------------------------------------------------
+#
+# The ECoG-scale ELBO hot spot (docs/DESIGN.md §8): `mgp_mean_var_white`
+# computes per-point variances  sum_k (A^T W)^2  for G = D(D+1)/2 variational
+# groups sharing one half-projection A = Lp^{-1} K12^T.  The XLA lowering
+# materializes C = einsum("mn,gmk->gnk") to HBM — (G, N, M) f32 is ~615 MB at
+# ECoG scale (G=3003, N=512, M=100) — then reads it back for the square-
+# reduce, and the VJP re-streams it twice more; arithmetic intensity ~23
+# flops/byte, far below the v5e ridge (~240), so the op is HBM-bound.  This
+# kernel keeps every C tile in VMEM: HBM sees W once (plus A and the (G, N)
+# output), a ~10x traffic cut.  The backward recomputes C tile-wise
+# (flash-attention-style rematerialization) in two accumulating kernels.
+#
+#   forward   grid (N-tiles, G):  A tile resident across the inner G sweep,
+#             W streams; out V[g, n-tile] written once per program.
+#   dW        grid (G, N-tiles):  accumulates over the inner N sweep into
+#             dW[g] (consecutive revisits of the same output block).
+#   dA        grid (N-tiles, G):  accumulates over the inner G sweep into
+#             dA[:, n-tile].
+
+_QF_TILE_N = 512
+
+
+def _qf_pad_cols(A, npad):
+    n = A.shape[1]
+    if npad == n:
+        return A
+    return jnp.concatenate([A, jnp.zeros((A.shape[0], npad - n), A.dtype)], axis=1)
+
+
+def _qf_fwd_body(a_ref, w_ref, out_ref):
+    A = a_ref[:]  # (M, TN)
+    W = w_ref[0]  # (M, M)
+    # C[k, n] = sum_m W[m, k] A[m, n]
+    C = jax.lax.dot_general(
+        W, A, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out_ref[0, :] = jnp.sum(C * C, axis=0)
+
+
+def _qf_dw_body(a_ref, w_ref, vb_ref, out_ref):
+    j = pl.program_id(1)
+    A = a_ref[:]  # (M, TN)
+    W = w_ref[0]  # (M, M)
+    vb = vb_ref[:]  # (1, TN)
+    C = jax.lax.dot_general(
+        W, A, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (Mk, TN)
+    E = 2.0 * vb * C
+    # dW[m, k] = sum_n A[m, n] E[k, n]
+    dw = jax.lax.dot_general(
+        A, E, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = dw
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[0] += dw
+
+
+def _qf_da_body(a_ref, w_ref, vb_ref, out_ref):
+    g = pl.program_id(1)
+    A = a_ref[:]
+    W = w_ref[0]
+    vb = vb_ref[:]
+    C = jax.lax.dot_general(
+        W, A, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    E = 2.0 * vb * C  # (Mk, TN)
+    # dA[m, n] = sum_k W[m, k] E[k, n]
+    da = jax.lax.dot_general(
+        W, E, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[:] = da
+
+    @pl.when(g > 0)
+    def _():
+        out_ref[:] += da
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def quadform_diag_pallas(A, W, interpret=False):
+    """V[g, n] = sum_k (sum_m A[m, n] W[g, m, k])^2, fused on TPU.
+
+    A: (M, N) f32; W: (G, M, M) f32.  Returns (G, N).  Matches
+    `jnp.sum(jnp.einsum("mn,gmk->gnk", A, W) ** 2, axis=-1)` without the
+    (G, N, M) HBM intermediate.  Differentiable via Pallas backward kernels
+    that rematerialize C tile-wise.
+    """
+    return _qf_forward(A, W, interpret)
+
+
+def _qf_grids(A, W):
+    m, n = A.shape
+    g = W.shape[0]
+    tn = min(_QF_TILE_N, pl.cdiv(n, _TILE) * _TILE)
+    npad = pl.cdiv(n, tn) * tn
+    return m, n, g, tn, npad
+
+
+def _qf_forward(A, W, interpret):
+    m, n, g, tn, npad = _qf_grids(A, W)
+    Ap = _qf_pad_cols(A, npad)
+    nt = npad // tn
+    a_spec = pl.BlockSpec((m, tn), lambda j, gg: (0, j), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, m, m), lambda j, gg: (gg, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _qf_fwd_body,
+        grid=(nt, g),
+        in_specs=[a_spec, w_spec],
+        out_specs=pl.BlockSpec((1, tn), lambda j, gg: (gg, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, npad), A.dtype),
+        interpret=interpret,
+    )(Ap, W)
+    return out[:, :n]
+
+
+def _qf_fwd_rule(A, W, interpret):
+    return _qf_forward(A, W, interpret), (A, W)
+
+
+def _qf_bwd_rule(interpret, res, vbar):
+    A, W = res
+    m, n, g, tn, npad = _qf_grids(A, W)
+    Ap = _qf_pad_cols(A, npad)
+    vbp = _qf_pad_cols(vbar, npad)  # (G, npad); padded cols contribute 0
+    nt = npad // tn
+
+    dW = pl.pallas_call(
+        _qf_dw_body,
+        grid=(g, nt),
+        in_specs=[
+            pl.BlockSpec((m, tn), lambda gg, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, m), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda gg, j: (gg, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m, m), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, m, m), A.dtype),
+        interpret=interpret,
+    )(Ap, W, vbp)
+
+    dA = pl.pallas_call(
+        _qf_da_body,
+        grid=(nt, g),
+        in_specs=[
+            pl.BlockSpec((m, tn), lambda j, gg: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, m), lambda j, gg: (gg, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda j, gg: (gg, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (m, tn), lambda j, gg: (0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, npad), A.dtype),
+        interpret=interpret,
+    )(Ap, W, vbp)
+
+    return dA[:, :n], dW
+
+
+quadform_diag_pallas.defvjp(_qf_fwd_rule, _qf_bwd_rule)

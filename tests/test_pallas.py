@@ -166,3 +166,67 @@ def test_chol_inv_pallas_matches_chol_tri_inv():
         np.testing.assert_allclose(
             np.asarray(Linv), np.linalg.inv(L_ref), rtol=1e-7, atol=1e-8
         )
+
+
+def test_quadform_diag_pallas_matches_einsum():
+    """V[g,n] = sum_k (A^T W[g])^2 — values and both gradients vs the
+    einsum lowering (the op it replaces in mgp_mean_var_white), multiple
+    ragged shapes including multi-tile N."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.pallas_kernels import (
+        quadform_diag_pallas,
+    )
+
+    def oracle(A, W):
+        C = jnp.einsum("mn,gmk->gnk", A, W)
+        return jnp.sum(C * C, axis=-1)
+
+    for M, N, G in [(24, 70, 5), (100, 512, 7), (16, 700, 3)]:
+        A = jnp.asarray(RNG.standard_normal((M, N)), jnp.float32)
+        W = jnp.asarray(RNG.standard_normal((G, M, M)), jnp.float32)
+        V = quadform_diag_pallas(A, W, True)
+        Vo = oracle(A, W)
+        np.testing.assert_allclose(
+            np.asarray(V), np.asarray(Vo), rtol=2e-4, atol=2e-4
+        )
+
+        def lp(a, w):
+            return jnp.sum(jnp.sin(quadform_diag_pallas(a, w, True)))
+
+        def lo(a, w):
+            return jnp.sum(jnp.sin(oracle(a, w)))
+
+        gp = jax.grad(lp, argnums=(0, 1))(A, W)
+        go = jax.grad(lo, argnums=(0, 1))(A, W)
+        for a, b in zip(gp, go):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-30
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=3e-4
+            )
+
+
+def test_quadform_dispatch_equivalence():
+    """mgp_mean_var_white's variance is identical (up to f32 reassociation)
+    whether the quadform goes through einsum or the Pallas kernel."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        _quadform_diag,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.pallas_kernels import (
+        quadform_diag_pallas,
+    )
+
+    M, N, G = 32, 130, 6
+    A = jnp.asarray(RNG.standard_normal((M, N)), jnp.float32)
+    W = jnp.asarray(RNG.standard_normal((G, M, M)), jnp.float32)
+    # CPU tests always take the einsum path in _quadform_diag; compare it
+    # against the kernel in interpret mode directly
+    v_einsum = _quadform_diag(A, W)
+    v_pallas = quadform_diag_pallas(A, W, True)
+    np.testing.assert_allclose(
+        np.asarray(v_pallas), np.asarray(v_einsum), rtol=2e-4, atol=2e-4
+    )
+    # multi-batch-dim reshape path of _quadform_diag
+    W4 = W.reshape(2, 3, M, M)
+    v4 = _quadform_diag(A, W4)
+    np.testing.assert_allclose(
+        np.asarray(v4), np.asarray(v_einsum).reshape(2, 3, N), rtol=1e-6
+    )
