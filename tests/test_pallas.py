@@ -230,3 +230,39 @@ def test_quadform_dispatch_equivalence():
     np.testing.assert_allclose(
         np.asarray(v4), np.asarray(v_einsum).reshape(2, 3, N), rtol=1e-6
     )
+
+
+def test_quadform_dispatch_kernel_path(monkeypatch):
+    """Force the production dispatch through the Pallas kernel (interpret
+    mode) to cover _quadform_diag's reshape/threshold plumbing end-to-end
+    through mgp_mean_var_white."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops import (
+        linalg as linalg_mod,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu import (
+        config as config_mod,
+    )
+
+    monkeypatch.setattr(config_mod, "is_tpu", lambda: True)
+    monkeypatch.setattr(linalg_mod, "QUADFORM_PALLAS_MIN_ELEMENTS", 1)
+
+    M, N, G = 16, 40, 4
+    A = jnp.asarray(RNG.standard_normal((M, N)), jnp.float32)
+    Lp_inv = jnp.asarray(np.tril(RNG.standard_normal((M, M))), jnp.float32)
+    d11 = jnp.asarray(np.abs(RNG.standard_normal(N)) + 1.0, jnp.float32)
+    mu = jnp.asarray(RNG.standard_normal((G, M)), jnp.float32)
+    st = jnp.asarray(
+        np.tril(RNG.standard_normal((G, M, M))), jnp.float32
+    )
+
+    with pltpu.force_tpu_interpret_mode():
+        mean_k, var_k, W_k = linalg_mod.mgp_mean_var_white(A, Lp_inv, d11, mu, st)
+    monkeypatch.setattr(linalg_mod, "QUADFORM_PALLAS_MIN_ELEMENTS", 1 << 62)
+    mean_e, var_e, W_e = linalg_mod.mgp_mean_var_white(A, Lp_inv, d11, mu, st)
+    np.testing.assert_allclose(np.asarray(mean_k), np.asarray(mean_e), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(var_k), np.asarray(var_e), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(np.asarray(W_k), np.asarray(W_e), rtol=1e-5)
