@@ -451,6 +451,12 @@ _chol_forward.defvjp(_chol_fwd, _chol_bwd)
 #             dA[:, n-tile].
 
 _QF_TILE_N = 512
+# Groups per program: the Pallas TPU lowering requires the second-to-last
+# output block dim to be divisible by 8 (sublane granularity) — a (1, TN)
+# V block is rejected on real hardware (interpret mode does not enforce
+# this).  Blocking 8 groups per program satisfies it and amortizes pipeline
+# overhead; G pads to a multiple of 8 with zero groups.
+_QF_G_BLOCK = 8
 
 
 def _qf_pad_cols(A, npad):
@@ -460,51 +466,68 @@ def _qf_pad_cols(A, npad):
     return jnp.concatenate([A, jnp.zeros((A.shape[0], npad - n), A.dtype)], axis=1)
 
 
+def _qf_pad_groups(W, gpad):
+    g = W.shape[0]
+    if gpad == g:
+        return W
+    return jnp.concatenate(
+        [W, jnp.zeros((gpad - g,) + W.shape[1:], W.dtype)], axis=0
+    )
+
+
+def _qf_c8(W8, A):
+    """C[(g,k), n] = sum_m W8[g, m, k] A[m, n] for an (8, M, M) group block,
+    as one MXU dot: (M, 8M)^T-free contraction via dot_general."""
+    gb, m, _ = W8.shape
+    Wmat = W8.transpose(1, 0, 2).reshape(m, gb * m)  # [m, (g, k)]
+    C = jax.lax.dot_general(
+        Wmat, A, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # ((g, k), n)
+    return C, Wmat
+
+
 def _qf_fwd_body(a_ref, w_ref, out_ref):
     A = a_ref[:]  # (M, TN)
-    W = w_ref[0]  # (M, M)
-    # C[k, n] = sum_m W[m, k] A[m, n]
-    C = jax.lax.dot_general(
-        W, A, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    out_ref[0, :] = jnp.sum(C * C, axis=0)
+    W8 = w_ref[:]  # (GB, M, M)
+    gb, m, _ = W8.shape
+    C, _ = _qf_c8(W8, A)
+    out_ref[:] = jnp.sum(C.reshape(gb, m, -1) ** 2, axis=1)
 
 
 def _qf_dw_body(a_ref, w_ref, vb_ref, out_ref):
     j = pl.program_id(1)
     A = a_ref[:]  # (M, TN)
-    W = w_ref[0]  # (M, M)
-    vb = vb_ref[:]  # (1, TN)
-    C = jax.lax.dot_general(
-        W, A, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Mk, TN)
-    E = 2.0 * vb * C
-    # dW[m, k] = sum_n A[m, n] E[k, n]
+    W8 = w_ref[:]  # (GB, M, M)
+    vb = vb_ref[:]  # (GB, TN)
+    gb, m, _ = W8.shape
+    C, _ = _qf_c8(W8, A)  # ((g, k), n)
+    E = (2.0 * vb[:, None, :] * C.reshape(gb, m, -1)).reshape(gb * m, -1)
+    # dW[g, m, k] = sum_n A[m, n] E[(g, k), n]
     dw = jax.lax.dot_general(
         A, E, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    )  # (m, (g, k))
+    dw = dw.reshape(m, gb, m).transpose(1, 0, 2)
 
     @pl.when(j == 0)
     def _():
-        out_ref[0] = dw
+        out_ref[:] = dw
 
     @pl.when(j > 0)
     def _():
-        out_ref[0] += dw
+        out_ref[:] += dw
 
 
 def _qf_da_body(a_ref, w_ref, vb_ref, out_ref):
     g = pl.program_id(1)
     A = a_ref[:]
-    W = w_ref[0]
+    W8 = w_ref[:]
     vb = vb_ref[:]
-    C = jax.lax.dot_general(
-        W, A, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    E = 2.0 * vb * C  # (Mk, TN)
-    # dA[m, n] = sum_k W[m, k] E[k, n]
+    gb, m, _ = W8.shape
+    C, Wmat = _qf_c8(W8, A)
+    E = (2.0 * vb[:, None, :] * C.reshape(gb, m, -1)).reshape(gb * m, -1)
+    # dA[m, n] = sum_{g,k} W[g, m, k] E[(g, k), n] = Wmat @ E
     da = jax.lax.dot_general(
-        W, E, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        Wmat, E, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
     @pl.when(g == 0)
@@ -533,24 +556,31 @@ def _qf_grids(A, W):
     g = W.shape[0]
     tn = min(_QF_TILE_N, pl.cdiv(n, _TILE) * _TILE)
     npad = pl.cdiv(n, tn) * tn
-    return m, n, g, tn, npad
+    gpad = pl.cdiv(g, _QF_G_BLOCK) * _QF_G_BLOCK
+    return m, n, g, tn, npad, gpad
 
 
 def _qf_forward(A, W, interpret):
-    m, n, g, tn, npad = _qf_grids(A, W)
+    m, n, g, tn, npad, gpad = _qf_grids(A, W)
     Ap = _qf_pad_cols(A, npad)
+    Wp = _qf_pad_groups(W, gpad)
     nt = npad // tn
+    gt = gpad // _QF_G_BLOCK
     a_spec = pl.BlockSpec((m, tn), lambda j, gg: (0, j), memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((1, m, m), lambda j, gg: (gg, 0, 0), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(
+        (_QF_G_BLOCK, m, m), lambda j, gg: (gg, 0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         _qf_fwd_body,
-        grid=(nt, g),
+        grid=(nt, gt),
         in_specs=[a_spec, w_spec],
-        out_specs=pl.BlockSpec((1, tn), lambda j, gg: (gg, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, npad), A.dtype),
+        out_specs=pl.BlockSpec(
+            (_QF_G_BLOCK, tn), lambda j, gg: (gg, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((gpad, npad), A.dtype),
         interpret=interpret,
-    )(Ap, W)
-    return out[:, :n]
+    )(Ap, Wp)
+    return out[:g, :n]
 
 
 def _qf_fwd_rule(A, W, interpret):
@@ -559,42 +589,52 @@ def _qf_fwd_rule(A, W, interpret):
 
 def _qf_bwd_rule(interpret, res, vbar):
     A, W = res
-    m, n, g, tn, npad = _qf_grids(A, W)
+    m, n, g, tn, npad, gpad = _qf_grids(A, W)
     Ap = _qf_pad_cols(A, npad)
-    vbp = _qf_pad_cols(vbar, npad)  # (G, npad); padded cols contribute 0
+    Wp = _qf_pad_groups(W, gpad)
+    vbp = _qf_pad_groups(_qf_pad_cols(vbar, npad), gpad)  # zero cotangents pad
     nt = npad // tn
+    gt = gpad // _QF_G_BLOCK
 
     dW = pl.pallas_call(
         _qf_dw_body,
-        grid=(g, nt),
+        grid=(gt, nt),
         in_specs=[
             pl.BlockSpec((m, tn), lambda gg, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, m), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda gg, j: (gg, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_QF_G_BLOCK, m, m), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (_QF_G_BLOCK, tn), lambda gg, j: (gg, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, m, m), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM
+            (_QF_G_BLOCK, m, m), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((g, m, m), A.dtype),
+        out_shape=jax.ShapeDtypeStruct((gpad, m, m), A.dtype),
         interpret=interpret,
-    )(Ap, W, vbp)
+    )(Ap, Wp, vbp)
 
     dA = pl.pallas_call(
         _qf_da_body,
-        grid=(nt, g),
+        grid=(nt, gt),
         in_specs=[
             pl.BlockSpec((m, tn), lambda j, gg: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, m), lambda j, gg: (gg, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda j, gg: (gg, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_QF_G_BLOCK, m, m), lambda j, gg: (gg, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (_QF_G_BLOCK, tn), lambda j, gg: (gg, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (m, tn), lambda j, gg: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m, npad), A.dtype),
         interpret=interpret,
-    )(Ap, W, vbp)
+    )(Ap, Wp, vbp)
 
-    return dA[:, :n], dW
+    return dA[:, :n], dW[:g]
 
 
 quadform_diag_pallas.defvjp(_qf_fwd_rule, _qf_bwd_rule)
