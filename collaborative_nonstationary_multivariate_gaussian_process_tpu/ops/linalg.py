@@ -335,12 +335,16 @@ def mgp_mean_var_white(A, Lp_inv, d11, mu, scale_tril):
     return mean, base + _quadform_diag(A, W), W
 
 
-# Above this many elements of the (G, N, M) intermediate, dispatch the
-# variance quadratic form to the fused Pallas kernel on TPU: XLA's lowering
-# is HBM-bound (docs/DESIGN.md §8; 615 MB intermediate at ECoG scale), the
-# kernel keeps it in VMEM.  Below the threshold the launch overhead and the
-# XLA fusion win (flagship scale is latency-bound anyway).
-QUADFORM_PALLAS_MIN_ELEMENTS = 1 << 23
+# Dispatch threshold (elements of the (G, N, M) intermediate) for routing
+# the variance quadratic form to the fused Pallas kernel on TPU.  DISABLED
+# by default after measurement on the real chip (2026-08-20, v5e, ECoG
+# scale G=3081/M=100/N=512): XLA output-fuses the square-reduce into the
+# dot epilogue, so the op is FLOP-bound, not HBM-bound — XLA 0.86 ms fwd /
+# 3.56 ms fwd+bwd vs the kernel's 1.95 / 8.26 ms (the gap is the (G, M, M)
+# -> (G*M, M) operand relayouts Mosaic cannot perform in-kernel; see
+# docs/DESIGN.md §9).  The kernel stays validated (tests/test_pallas.py)
+# for shapes where a producer can supply pre-flattened operands.
+QUADFORM_PALLAS_MIN_ELEMENTS = None  # None = never dispatch
 
 
 def _quadform_diag(A, W):
@@ -353,7 +357,8 @@ def _quadform_diag(A, W):
     for s in batch_shape:
         n_batch *= s
     use_pallas = (
-        is_tpu()
+        QUADFORM_PALLAS_MIN_ELEMENTS is not None
+        and is_tpu()
         and A.dtype == jnp.float32
         and W.dtype == jnp.float32
         and A.ndim == 2

@@ -21,6 +21,9 @@ Reference semantics: `create_Gibbs` (code/utils.py:97-103) and `create_RBF`
 from __future__ import annotations
 
 import functools
+import math
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -443,20 +446,51 @@ _chol_forward.defvjp(_chol_fwd, _chol_bwd)
 # output), a ~10x traffic cut.  The backward recomputes C tile-wise
 # (flash-attention-style rematerialization) in two accumulating kernels.
 #
-#   forward   grid (N-tiles, G):  A tile resident across the inner G sweep,
-#             W streams; out V[g, n-tile] written once per program.
-#   dW        grid (G, N-tiles):  accumulates over the inner N sweep into
-#             dW[g] (consecutive revisits of the same output block).
-#   dA        grid (N-tiles, G):  accumulates over the inner G sweep into
-#             dA[:, n-tile].
+# MOSAIC LOWERING CONSTRAINTS (all learned on real hardware; interpret mode
+# enforces none of them):
+#   * reshapes/transposes that relayout across lanes are rejected
+#     ("unsupported shape cast"), so the (G, M, M) operand cannot be
+#     flattened *inside* the kernel;
+#   * transposed-LHS dots (contract lhs dim 0) insert a per-dot relayout
+#     (+320 us for a 1024x1024 operand, measured);
+#   * a static Python loop of small per-group dots pays ~75 us/dot of
+#     pipeline overhead (measured: 8 x (128,128)@(128,512) is 3.2x slower
+#     than the one fused dot of equal FLOPs);
+#   * output block dims must be sublane(8)/lane(128)-divisible or span the
+#     full array dim — a (1, TN) block is rejected.
+#
+# Design that satisfies all four: flatten W OUTSIDE the kernel (XLA handles
+# the relayout in HBM at bandwidth cost) into
+#     WT[(g,k), m] = W[g, m, k]      (rows = group-major flattened k)
+#     WM[m, (g,k)] = W[g, m, k]      (same entries, lane-major; dA only)
+# and express every contraction as a plain NN matmul on 2D tiles:
+#     C   = WT @ A                            ((GB*M, TN), the C tile)
+#     V   = S  @ (C * C)                      (per-group sum over k)
+#     vbe = ST @ vbar_tile                    (cotangent rows expanded to k)
+#     dWT = (2 * vbe * C) @ A^T-tile          (A passed pre-transposed)
+#     dA += WM @ (2 * vbe * C)
+# where S (GB, GB*M) / ST (GB*M, GB) are constant 0/1 group-membership
+# matrices (a block-diagonal selector; the MXU eats the zeros — 105 MFLOP
+# vs the 328 MFLOP main dot at GB=32, ~2 us).
+#
+#   forward   grid (N-tiles, G-blocks):  A tile resident, WT streams once.
+#   dWT       grid (G-blocks, N-tiles):  accumulates over the inner N sweep.
+#   dA        grid (N-tiles, G-blocks):  accumulates over the inner G sweep.
 
-_QF_TILE_N = 512
-# Groups per program: the Pallas TPU lowering requires the second-to-last
-# output block dim to be divisible by 8 (sublane granularity) — a (1, TN)
-# V block is rejected on real hardware (interpret mode does not enforce
-# this).  Blocking 8 groups per program satisfies it and amortizes pipeline
-# overhead; G pads to a multiple of 8 with zero groups.
-_QF_G_BLOCK = 8
+_QF_TILE_N = 512  # forward N tile; backward halves it (two C-sized live tiles)
+
+
+def _qf_g_block(m: int) -> int:
+    """Groups per program block.
+
+    GB must make GB*M lane-divisible (the dA kernel blocks WM on its minor
+    dim: GB*M % 128 == 0) and GB itself sublane-divisible for the (GB, TN)
+    V output block (GB % 8 == 0).  Smallest such GB: lcm of 8 and
+    128/gcd(M, 128).  M=100 -> 32, M=200 -> 16, M=128 -> 8; the implied
+    W block stays ~1-2 MiB — within VMEM at every M the models use.
+    """
+    g0 = 128 // math.gcd(m, 128)
+    return max(8, g0 * 8 // math.gcd(g0, 8))
 
 
 def _qf_pad_cols(A, npad):
@@ -475,66 +509,67 @@ def _qf_pad_groups(W, gpad):
     )
 
 
-def _qf_c8(W8, A):
-    """C[(g,k), n] = sum_m W8[g, m, k] A[m, n] for an (8, M, M) group block,
-    as one MXU dot: (M, 8M)^T-free contraction via dot_general."""
-    gb, m, _ = W8.shape
-    Wmat = W8.transpose(1, 0, 2).reshape(m, gb * m)  # [m, (g, k)]
+def _qf_selectors(gb, m, dtype):
+    """Constant 0/1 selector S (GB, GB*M) with S[g, (g', k)] = [g == g']."""
+    s = np.equal.outer(np.arange(gb), np.repeat(np.arange(gb), m))
+    return jnp.asarray(s.astype(dtype))
+
+
+def _qf_fwd_body(wt_ref, a_ref, s_ref, out_ref):
     C = jax.lax.dot_general(
-        Wmat, A, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # ((g, k), n)
-    return C, Wmat
+        wt_ref[:], a_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (GB*M, TN)
+    out_ref[:] = jax.lax.dot_general(
+        s_ref[:], C * C, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (GB, TN)
 
 
-def _qf_fwd_body(a_ref, w_ref, out_ref):
-    A = a_ref[:]  # (M, TN)
-    W8 = w_ref[:]  # (GB, M, M)
-    gb, m, _ = W8.shape
-    C, _ = _qf_c8(W8, A)
-    out_ref[:] = jnp.sum(C.reshape(gb, m, -1) ** 2, axis=1)
-
-
-def _qf_dw_body(a_ref, w_ref, vb_ref, out_ref):
+def _qf_dwt_body(wt_ref, a_ref, at_ref, vb_ref, st_ref, out_ref):
     j = pl.program_id(1)
-    A = a_ref[:]  # (M, TN)
-    W8 = w_ref[:]  # (GB, M, M)
-    vb = vb_ref[:]  # (GB, TN)
-    gb, m, _ = W8.shape
-    C, _ = _qf_c8(W8, A)  # ((g, k), n)
-    E = (2.0 * vb[:, None, :] * C.reshape(gb, m, -1)).reshape(gb * m, -1)
-    # dW[g, m, k] = sum_n A[m, n] E[(g, k), n]
-    dw = jax.lax.dot_general(
-        A, E, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (m, (g, k))
-    dw = dw.reshape(m, gb, m).transpose(1, 0, 2)
+    C = jax.lax.dot_general(
+        wt_ref[:], a_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (GB*M, TN)
+    vbe = jax.lax.dot_general(
+        st_ref[:], vb_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (GB*M, TN)
+    dwt = jax.lax.dot_general(
+        2.0 * vbe * C, at_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (GB*M, M)
 
     @pl.when(j == 0)
     def _():
-        out_ref[:] = dw
+        out_ref[:] = dwt
 
     @pl.when(j > 0)
     def _():
-        out_ref[:] += dw
+        out_ref[:] += dwt
 
 
-def _qf_da_body(a_ref, w_ref, vb_ref, out_ref):
-    g = pl.program_id(1)
-    A = a_ref[:]
-    W8 = w_ref[:]
-    vb = vb_ref[:]
-    gb, m, _ = W8.shape
-    C, Wmat = _qf_c8(W8, A)
-    E = (2.0 * vb[:, None, :] * C.reshape(gb, m, -1)).reshape(gb * m, -1)
-    # dA[m, n] = sum_{g,k} W[g, m, k] E[(g, k), n] = Wmat @ E
-    da = jax.lax.dot_general(
-        Wmat, E, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+def _qf_da_body(wt_ref, wm_ref, a_ref, vb_ref, st_ref, out_ref):
+    gg = pl.program_id(1)
+    C = jax.lax.dot_general(
+        wt_ref[:], a_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    vbe = jax.lax.dot_general(
+        st_ref[:], vb_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    da = jax.lax.dot_general(
+        wm_ref[:], 2.0 * vbe * C, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (M, TN)
 
-    @pl.when(g == 0)
+    @pl.when(gg == 0)
     def _():
         out_ref[:] = da
 
-    @pl.when(g > 0)
+    @pl.when(gg > 0)
     def _():
         out_ref[:] += da
 
@@ -548,93 +583,105 @@ def quadform_diag_pallas(A, W, interpret=False):
     (G, N, M) HBM intermediate.  Differentiable via Pallas backward kernels
     that rematerialize C tile-wise.
     """
-    return _qf_forward(A, W, interpret)
+    return _qf_forward(A, W, interpret)[0]
 
 
-def _qf_grids(A, W):
-    m, n = A.shape
-    g = W.shape[0]
-    tn = min(_QF_TILE_N, pl.cdiv(n, _TILE) * _TILE)
+def _qf_tiles(m, n, g, tile_n):
+    tn = min(tile_n, pl.cdiv(n, _TILE) * _TILE)
     npad = pl.cdiv(n, tn) * tn
-    gpad = pl.cdiv(g, _QF_G_BLOCK) * _QF_G_BLOCK
-    return m, n, g, tn, npad, gpad
+    gb = _qf_g_block(m)
+    gpad = pl.cdiv(g, gb) * gb
+    return tn, npad, gb, gpad
+
+
+def _qf_flatten_w(W, gpad):
+    """(G, M, M) -> WT (gpad*M, M) rows (g, k), and the same entries as
+    WM (M, gpad*M) — XLA-side relayouts (Mosaic can't do them in-kernel)."""
+    m = W.shape[-1]
+    Wp = _qf_pad_groups(W, gpad)
+    WT = Wp.transpose(0, 2, 1).reshape(gpad * m, m)
+    WM = Wp.transpose(1, 0, 2).reshape(m, gpad * m)
+    return WT, WM
 
 
 def _qf_forward(A, W, interpret):
-    m, n, g, tn, npad, gpad = _qf_grids(A, W)
+    m, n = A.shape
+    g = W.shape[0]
+    tn, npad, gb, gpad = _qf_tiles(m, n, g, _QF_TILE_N)
     Ap = _qf_pad_cols(A, npad)
-    Wp = _qf_pad_groups(W, gpad)
-    nt = npad // tn
-    gt = gpad // _QF_G_BLOCK
-    a_spec = pl.BlockSpec((m, tn), lambda j, gg: (0, j), memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec(
-        (_QF_G_BLOCK, m, m), lambda j, gg: (gg, 0, 0), memory_space=pltpu.VMEM
-    )
+    WT, _ = _qf_flatten_w(W, gpad)
+    S = _qf_selectors(gb, m, A.dtype)
+    nt, gt = npad // tn, gpad // gb
     out = pl.pallas_call(
         _qf_fwd_body,
         grid=(nt, gt),
-        in_specs=[a_spec, w_spec],
+        in_specs=[
+            pl.BlockSpec((gb * m, m), lambda j, gg: (gg, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tn), lambda j, gg: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, gb * m), lambda j, gg: (0, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(
-            (_QF_G_BLOCK, tn), lambda j, gg: (gg, j), memory_space=pltpu.VMEM
+            (gb, tn), lambda j, gg: (gg, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((gpad, npad), A.dtype),
         interpret=interpret,
-    )(Ap, Wp)
-    return out[:g, :n]
+    )(WT, Ap, S)
+    return out[:g, :n], (A, W)
 
 
 def _qf_fwd_rule(A, W, interpret):
-    return _qf_forward(A, W, interpret), (A, W)
+    return _qf_forward(A, W, interpret)
 
 
 def _qf_bwd_rule(interpret, res, vbar):
     A, W = res
-    m, n, g, tn, npad, gpad = _qf_grids(A, W)
+    m, n = A.shape
+    g = W.shape[0]
+    # half the forward N tile: the backward keeps two (GB*M, TN) tiles live
+    tn, npad, gb, gpad = _qf_tiles(m, n, g, _QF_TILE_N // 2)
     Ap = _qf_pad_cols(A, npad)
-    Wp = _qf_pad_groups(W, gpad)
+    WT, WM = _qf_flatten_w(W, gpad)
     vbp = _qf_pad_groups(_qf_pad_cols(vbar, npad), gpad)  # zero cotangents pad
-    nt = npad // tn
-    gt = gpad // _QF_G_BLOCK
+    ST = _qf_selectors(gb, m, A.dtype).T
+    nt, gt = npad // tn, gpad // gb
 
-    dW = pl.pallas_call(
-        _qf_dw_body,
+    dWT = pl.pallas_call(
+        _qf_dwt_body,
         grid=(gt, nt),
         in_specs=[
+            pl.BlockSpec((gb * m, m), lambda gg, j: (gg, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, tn), lambda gg, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (_QF_G_BLOCK, m, m), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (_QF_G_BLOCK, tn), lambda gg, j: (gg, j), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((tn, m), lambda gg, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, tn), lambda gg, j: (gg, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * m, gb), lambda gg, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_QF_G_BLOCK, m, m), lambda gg, j: (gg, 0, 0), memory_space=pltpu.VMEM
+            (gb * m, m), lambda gg, j: (gg, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((gpad, m, m), A.dtype),
+        out_shape=jax.ShapeDtypeStruct((gpad * m, m), A.dtype),
         interpret=interpret,
-    )(Ap, Wp, vbp)
+    )(WT, Ap, Ap.T, vbp, ST)
+    # WT rows are (g, k): un-flatten to (g, k, m) then swap back to (g, m, k)
+    dW = dWT.reshape(gpad, m, m).transpose(0, 2, 1)[:g]
 
     dA = pl.pallas_call(
         _qf_da_body,
         grid=(nt, gt),
         in_specs=[
+            pl.BlockSpec((gb * m, m), lambda j, gg: (gg, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, gb * m), lambda j, gg: (0, gg), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, tn), lambda j, gg: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (_QF_G_BLOCK, m, m), lambda j, gg: (gg, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (_QF_G_BLOCK, tn), lambda j, gg: (gg, j), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((gb, tn), lambda j, gg: (gg, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * m, gb), lambda j, gg: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (m, tn), lambda j, gg: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m, npad), A.dtype),
         interpret=interpret,
-    )(Ap, Wp, vbp)
+    )(WT, WM, Ap, vbp, ST)
 
-    return dA[:, :n], dW[:g]
+    return dA[:, :n], dW
 
 
 quadform_diag_pallas.defvjp(_qf_fwd_rule, _qf_bwd_rule)

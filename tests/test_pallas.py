@@ -196,11 +196,22 @@ def test_quadform_diag_pallas_matches_einsum():
             return jnp.sum(jnp.sin(oracle(a, w)))
 
         gp = jax.grad(lp, argnums=(0, 1))(A, W)
-        go = jax.grad(lo, argnums=(0, 1))(A, W)
-        for a, b in zip(gp, go):
-            scale = float(jnp.max(jnp.abs(b))) + 1e-30
-            np.testing.assert_allclose(
-                np.asarray(a) / scale, np.asarray(b) / scale, atol=3e-4
+        # judge against the f64 truth: the kernel's blocked accumulation
+        # order differs from the einsum's, so two f32 results legitimately
+        # disagree by the f32 rounding noise of a K~G*M^2 contraction.  The
+        # contract is *relative*: the kernel must be within a small factor
+        # of the f32 einsum's own distance from the f64 answer.
+        go32 = jax.grad(lo, argnums=(0, 1))(A, W)
+        go64 = jax.grad(lo, argnums=(0, 1))(
+            A.astype(jnp.float64), W.astype(jnp.float64)
+        )
+        for a, b32, b64 in zip(gp, go32, go64):
+            scale = float(jnp.max(jnp.abs(b64))) + 1e-30
+            err_pallas = float(jnp.max(jnp.abs(np.asarray(a) - b64))) / scale
+            err_oracle = float(jnp.max(jnp.abs(np.asarray(b32) - b64))) / scale
+            assert err_pallas <= 3.0 * err_oracle + 1e-6, (
+                err_pallas,
+                err_oracle,
             )
 
 
