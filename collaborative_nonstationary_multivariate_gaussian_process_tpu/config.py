@@ -28,6 +28,15 @@ MCMC_JITTER = 1e-6
 # (reference SIM_code/Utility/settings.py:6).
 PRECISION = 1e-6
 
+# Wall-clock budget for any single device dispatch (seconds).  Multi-minute
+# single XLA dispatches have crashed/wedged the remote TPU worker (observed
+# twice in round 2 with 1024-chain ChEES, once in round 3 with the ECoG
+# M=200 DSVI run — the grant then takes 1-3 h to recover), so every long
+# loop must be host-chunked: `infer.chees` segments by iteration count, and
+# `infer.dsvi.inference` calibrates epochs-per-dispatch against this budget
+# from a timed 1-epoch dispatch.  Override via CNMGP_DISPATCH_BUDGET_S.
+DISPATCH_BUDGET_S = float(os.environ.get("CNMGP_DISPATCH_BUDGET_S", "30.0"))
+
 
 def default_dtype():
     """Compute dtype: float64 iff jax x64 mode is on, else float32."""

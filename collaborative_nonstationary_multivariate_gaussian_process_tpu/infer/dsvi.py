@@ -334,9 +334,19 @@ def inference(
         run_epochs = make_scan_epochs(
             optimizer, float(n_total), jitter, num_batches, batch_size, mesh=mesh
         )
+
+        # Bound every dispatch's wall time (config.DISPATCH_BUDGET_S):
+        # multi-minute single dispatches crash the remote TPU worker.  The
+        # first 1-epoch dispatch pays compile; the second is timed to
+        # calibrate epochs-per-dispatch.  Both are real training epochs.
+        from ..config import DISPATCH_BUDGET_S
+
         epoch = 0
-        while epoch < itnum:
-            chunk = min(elbo_every if show_ELBO else itnum, itnum - epoch)
+        budget_chunk = None  # unknown until calibrated
+        next_probe = elbo_every if show_ELBO else None
+
+        def _run(chunk):
+            nonlocal params, opt_state, epoch, key
             key, k_run = jax.random.split(key)
             params, opt_state, losses = run_epochs(
                 params, opt_state, grad_mask, Z, x, y, idx, k_run, chunk
@@ -344,12 +354,28 @@ def inference(
             loss_list.extend(np.asarray(losses).tolist())
             time_list.extend([time.time() - ts] * int(losses.shape[0]))
             epoch += chunk
-            if show_ELBO and epoch % elbo_every == 0:
+
+        if itnum > 2:
+            _run(1)  # compile + first epoch
+            t1 = time.time()
+            _run(1)  # steady-state epoch, timed
+            epoch_s = max(time.time() - t1, 1e-6)
+            budget_chunk = max(int(DISPATCH_BUDGET_S / epoch_s), 1)
+
+        while epoch < itnum:
+            chunk = itnum - epoch
+            if budget_chunk is not None:
+                chunk = min(chunk, budget_chunk)
+            if next_probe is not None:
+                chunk = min(chunk, next_probe - epoch)
+            _run(chunk)
+            if next_probe is not None and epoch >= next_probe:
                 key, k_elbo = jax.random.split(key)
                 elbo = float(elbo_fn(params, Z, x, y, idx, k_elbo))
                 elbo_trace.append(elbo)
                 print(f"epoch: {epoch}, ELBO: {elbo:.4f}")
                 profiling.print_mem(epoch)
+                next_probe += elbo_every
         epoch = itnum - 1
         if show_ELBO:
             print(f"training takes {time.time() - ts:.2f}s")

@@ -49,6 +49,9 @@ __all__ = [
     "sample_y_once",
     "sample_fy_once",
     "predict_y_mean",
+    "packed_U_indices",
+    "pack_U",
+    "unpack_U",
 ]
 
 
@@ -58,7 +61,14 @@ class CNMGPParams(NamedTuple):
     Mirrors the reference parameter set (nmgp_dsvi.py:117-155):
       mu_v/sqrt_v     — inducing posterior of the log-lengthscale process
       mu_W/sqrt_W     — inducing posterior of the D latent functions g_d
-      mu_U/sqrt_U     — inducing posterior of the D x D coefficient entries
+      mu_U/sqrt_U     — inducing posterior of the D(D+1)/2 coefficient
+                        entries L_ij, PACKED offdiag-first (see
+                        `packed_U_indices`; the reference stores a dense
+                        (D, D, ...) table and masks the upper triangle,
+                        which at ECoG scale doubles parameter/optimizer HBM
+                        traffic and puts a gather+scatter-add pair on the
+                        training step's hot path — the packed layout makes
+                        the per-group slices free)
       *_log scalars   — exp-reparameterized hyperparameters
     """
 
@@ -66,8 +76,8 @@ class CNMGPParams(NamedTuple):
     sqrt_v: jax.Array  # (M, M), lower triangle used
     mu_W: jax.Array  # (D, M)
     sqrt_W: jax.Array  # (D, M, M)
-    mu_U: jax.Array  # (D, D, M)
-    sqrt_U: jax.Array  # (D, D, M, M)
+    mu_U: jax.Array  # (D(D+1)/2, M), offdiag entries first, then diag
+    sqrt_U: jax.Array  # (D(D+1)/2, M, M), same packing
     sigma2_tildeell_log: jax.Array  # ()
     length_scales_tildeell_log: jax.Array  # ()
     sigma2_L0_log: jax.Array  # ()
@@ -107,12 +117,23 @@ def init_params(
     def _or(given, draw):
         return jnp.asarray(given, dtype) if given is not None else draw
 
+    def _or_U(given, draw, packed_ndim):
+        """Accept either the packed (G, ...) layout or a dense (D, D, ...)
+        table (the reference's layout, what pre-estimation produces)."""
+        if given is None:
+            return draw
+        a = jnp.asarray(given, dtype)
+        if a.ndim == packed_ndim + 1:
+            a = pack_U(a)
+        return a
+
+    G = D * (D + 1) // 2
     mu_W = _or(mu_W, 0.1 * jax.random.normal(ks[0], (D, M), dtype))
     sqrt_W = _or(sqrt_W, sqrt_scale * jax.random.normal(ks[1], (D, M, M), dtype))
     mu_v = _or(mu_v, -4.0 * jnp.ones((M,), dtype))
     sqrt_v = _or(sqrt_v, sqrt_scale * jax.random.normal(ks[2], (M, M), dtype))
-    mu_U = _or(mu_U, 0.1 * jax.random.normal(ks[3], (D, D, M), dtype))
-    sqrt_U = _or(sqrt_U, sqrt_scale * jax.random.normal(ks[4], (D, D, M, M), dtype))
+    mu_U = _or_U(mu_U, 0.1 * jax.random.normal(ks[3], (G, M), dtype), 2)
+    sqrt_U = _or_U(sqrt_U, sqrt_scale * jax.random.normal(ks[4], (G, M, M), dtype), 3)
     z = lambda v: jnp.asarray(v, dtype)
     return CNMGPParams(
         mu_v=mu_v,
@@ -135,6 +156,36 @@ def _offdiag_indices(D: int):
     """Static (row, col) index arrays of the strict lower triangle."""
     ii, jj = np.tril_indices(D, k=-1)
     return jnp.asarray(ii), jnp.asarray(jj)
+
+
+def packed_U_indices(D: int):
+    """(row, col) of each packed coefficient entry, as numpy arrays.
+
+    Packing order: the D(D-1)/2 strict-lower-triangle entries in
+    `np.tril_indices(D, -1)` order, then the D diagonal entries.  With this
+    order the two kernel groups the ELBO needs — offdiag (stationary RBF
+    K_L0) and diag (log-GP K_L1) — are contiguous SLICES `[:T0]` / `[T0:]`
+    of the packed axis instead of gathers.
+    """
+    ii, jj = np.tril_indices(D, k=-1)
+    rows = np.concatenate([ii, np.arange(D)])
+    cols = np.concatenate([jj, np.arange(D)])
+    return rows, cols
+
+
+def pack_U(dense):
+    """Dense (D, D, ...) coefficient table -> packed (D(D+1)/2, ...)."""
+    D = dense.shape[0]
+    rows, cols = packed_U_indices(D)
+    return jnp.asarray(dense)[rows, cols]
+
+
+def unpack_U(packed, D: int, fill=0.0):
+    """Packed (D(D+1)/2, ...) -> dense (D, D, ...) lower-triangular table
+    (upper triangle = `fill`); inverse of `pack_U` for analysis/IO."""
+    rows, cols = packed_U_indices(D)
+    out = jnp.full((D, D) + tuple(packed.shape[1:]), fill, packed.dtype)
+    return out.at[rows, cols].set(packed)
 
 
 class _Latents(NamedTuple):
@@ -245,13 +296,17 @@ def _sample_latents(
     # Sigma = L Lᵀ grams, nonnegative q-variance by construction, and the
     # whitened factors Wh feed the KL for free.
 
-    Sigma_U_tril = tril_mask(params.sqrt_U)
+    # packed layout: [:T0] = offdiag entries (K_L0 group), [T0:] = diag
+    # entries (K_L1 log-GP group) — contiguous slices, no gathers, and the
+    # parameter/Adam HBM traffic is half the dense (D, D, M, M) table's
+    T0 = D * (D - 1) // 2
+    Sigma_U_tril = tril_mask(params.sqrt_U)  # (G, M, M)
 
     dd = jnp.arange(D)
-    mu_diag = params.mu_U[dd, dd]  # (D, M)
+    mu_diag = params.mu_U[T0:]  # (D, M)
     d11_1 = jnp.full((B,), s2_L1, dtype)
     mean_d, var_d, Wh_diag = mgp_mean_var_white(
-        A_L1, Lp_inv[2], d11_1, mu_diag, Sigma_U_tril[dd, dd]
+        A_L1, Lp_inv[2], d11_1, mu_diag, Sigma_U_tril[T0:]
     )
     log_L_diag = sample_diag(k_diag, mean_d, var_d, jitter)  # (D, B)
     L_diag = jnp.exp(log_L_diag)
@@ -259,10 +314,10 @@ def _sample_latents(
     L_full = jnp.zeros((B, D, D), dtype)
     if D > 1:
         ii, jj = _offdiag_indices(D)
-        mu_off = params.mu_U[ii, jj]  # (T0, M)
+        mu_off = params.mu_U[:T0]  # (T0, M)
         d11_0 = jnp.full((B,), s2_L0, dtype)
         mean_o, var_o, Wh_off = mgp_mean_var_white(
-            A_L0, Lp_inv[1], d11_0, mu_off, Sigma_U_tril[ii, jj]
+            A_L0, Lp_inv[1], d11_0, mu_off, Sigma_U_tril[:T0]
         )
         L_off = sample_diag(k_off, mean_o, var_o, jitter)  # (T0, B)
         L_full = L_full.at[:, ii, jj].set(L_off.T)
@@ -323,15 +378,14 @@ def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER):
         params.mu_v, tril_mask(params.sqrt_v), lat.Wh_v, logdet_p[0], jtrace[0], lat.Lp_inv[0]
     )
 
-    dd = jnp.arange(D)
+    T0 = D * (D - 1) // 2
     sqrt_U_tril = tril_mask(params.sqrt_U)
     kl_U = jnp.sum(
-        kl(params.mu_U[dd, dd], sqrt_U_tril[dd, dd], lat.Wh_diag, logdet_p[2], jtrace[2], lat.Lp_inv[2])
+        kl(params.mu_U[T0:], sqrt_U_tril[T0:], lat.Wh_diag, logdet_p[2], jtrace[2], lat.Lp_inv[2])
     )
     if D > 1:
-        ii, jj = _offdiag_indices(D)
         kl_U = kl_U + jnp.sum(
-            kl(params.mu_U[ii, jj], sqrt_U_tril[ii, jj], lat.Wh_off, logdet_p[1], jtrace[1], lat.Lp_inv[1])
+            kl(params.mu_U[:T0], sqrt_U_tril[:T0], lat.Wh_off, logdet_p[1], jtrace[1], lat.Lp_inv[1])
         )
     return kl_W, kl_v, kl_U
 
@@ -477,11 +531,12 @@ def predict_y_mean(params: CNMGPParams, Z, x, idx, jitter=DSVI_JITTER, sigma2_g=
     P0 = conditional_projection(rbf(x, Z, s2_L0, ls_L0), rbf(Z, Z, s2_L0, ls_L0), jitter)
     P1 = conditional_projection(rbf(x, Z, s2_L1, ls_L1), rbf(Z, Z, s2_L1, ls_L1), jitter)
     dd = jnp.arange(D)
-    L_diag = jnp.exp(mgp_mean(P1, params.mu_U[dd, dd]))  # (D, B)
+    T0 = D * (D - 1) // 2
+    L_diag = jnp.exp(mgp_mean(P1, params.mu_U[T0:]))  # (D, B)
     L_full = jnp.zeros((B, D, D), dtype).at[:, dd, dd].set(L_diag.T)
     if D > 1:
         ii, jj = _offdiag_indices(D)
-        L_off = mgp_mean(P0, params.mu_U[ii, jj])  # (T0, B)
+        L_off = mgp_mean(P0, params.mu_U[:T0])  # (T0, B)
         L_full = L_full.at[:, ii, jj].set(L_off.T)
 
     K_G_12 = gibbs(x, Z, ell_X, ell_Z, sigma2_g)

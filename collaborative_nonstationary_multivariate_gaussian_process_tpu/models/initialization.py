@@ -112,11 +112,12 @@ def pre_estimation_all(x, Y, z, P=10):
 
 
 def pre_initialization(M, D, factor=1e-2):
-    """Identity-sqrt variational init (nmgp_dsvi.py:737-742)."""
+    """Identity-sqrt variational init (nmgp_dsvi.py:737-742).
+
+    sqrt_U comes back in the packed (D(D+1)/2, M, M) layout of
+    `models.cnmgp.CNMGPParams` (offdiag entries first, then diag)."""
     mu_W = np.zeros([D, M])
     sqrt_v = np.eye(M) * factor
     sqrt_W = np.stack([np.eye(M) for _ in range(D)]) * factor
-    sqrt_U = np.stack(
-        [np.stack([np.eye(M) for _ in range(D)]) for _ in range(D)]
-    ) * factor
+    sqrt_U = np.stack([np.eye(M) for _ in range(D * (D + 1) // 2)]) * factor
     return mu_W, sqrt_v, sqrt_W, sqrt_U

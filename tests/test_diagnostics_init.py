@@ -70,7 +70,7 @@ def test_pre_estimation_partial_recovers_scales():
 
     mu_W, sqrt_v, sqrt_W, sqrt_U = pre_initialization(5, 3)
     assert mu_W.shape == (3, 5)
-    assert sqrt_U.shape == (3, 3, 5, 5)
+    assert sqrt_U.shape == (6, 5, 5)  # packed D(D+1)/2 layout
     np.testing.assert_allclose(sqrt_v, np.eye(5) * 1e-2)
 
 

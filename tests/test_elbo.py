@@ -182,3 +182,43 @@ def test_minibatch_scaling():
         jax.jit(jax.vmap(mb_loss))(jax.random.split(jax.random.PRNGKey(6), 256))
     )
     assert abs(float(full) - float(mb)) / abs(float(full)) < 0.1
+
+
+def test_packed_U_layout_roundtrip_and_autopack(setup):
+    """pack_U/unpack_U invert each other, and init_params accepts the
+    reference's dense (D, D, ...) tables, packing them to the identical
+    parameters (same ELBO value) as pre-packed input."""
+    params, Z, x, y, idx, w, loss = setup
+    key = jax.random.PRNGKey(7)
+
+    G = D * (D + 1) // 2
+    assert params.mu_U.shape == (G, M)
+    assert params.sqrt_U.shape == (G, M, M)
+
+    dense_mu = cnmgp.unpack_U(params.mu_U, D)
+    dense_sq = cnmgp.unpack_U(params.sqrt_U, D)
+    np.testing.assert_array_equal(np.asarray(cnmgp.pack_U(dense_mu)), np.asarray(params.mu_U))
+    np.testing.assert_array_equal(np.asarray(cnmgp.pack_U(dense_sq)), np.asarray(params.sqrt_U))
+
+    # dense tables fed to init_params produce bit-identical parameters
+    params2 = cnmgp.init_params(
+        jax.random.PRNGKey(1),
+        D,
+        M,
+        dtype=jnp.float64,
+        mu_v=params.mu_v,
+        mu_W=params.mu_W,
+        mu_U=dense_mu,
+        sqrt_v=params.sqrt_v,
+        sqrt_W=params.sqrt_W,
+        sqrt_U=dense_sq,
+    )
+    np.testing.assert_array_equal(np.asarray(params2.mu_U), np.asarray(params.mu_U))
+    np.testing.assert_array_equal(np.asarray(params2.sqrt_U), np.asarray(params.sqrt_U))
+    np.testing.assert_allclose(float(loss(params2, key)), float(loss(params, key)))
+
+    # packing order contract: offdiag entries first (tril_indices order)
+    rows, cols = cnmgp.packed_U_indices(D)
+    T0 = D * (D - 1) // 2
+    assert np.all(rows[:T0] > cols[:T0])
+    assert np.all(rows[T0:] == cols[T0:])
