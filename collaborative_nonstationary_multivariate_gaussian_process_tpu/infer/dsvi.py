@@ -201,7 +201,15 @@ def make_scan_epochs(
 
     @partial(jax.jit, static_argnames=("n_epochs",))
     def run(params, opt_state, grad_mask, Z, x, y, idx, key, n_epochs):
-        keys = jax.random.split(key, n_epochs)
+        # `key` may be ONE key (split here, the simple API) or a pre-stacked
+        # (n_epochs,) array of per-epoch keys — the dispatch-budget driver in
+        # `inference` passes slices of one split so the training RNG stream
+        # is identical no matter how epochs are chunked across dispatches.
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            stacked = key.ndim == 1
+        else:
+            stacked = key.ndim == 2
+        keys = key if stacked else jax.random.split(key, n_epochs)
         carry, losses = jax.lax.scan(
             epoch_body, (params, opt_state, grad_mask, Z, x, y, idx), keys
         )
@@ -344,12 +352,17 @@ def inference(
         epoch = 0
         budget_chunk = None  # unknown until calibrated
         next_probe = elbo_every if show_ELBO else None
+        # per-epoch keys fixed up front: the RNG stream (and thus the full
+        # training trajectory) is identical however the timing-dependent
+        # dispatch budget chunks the epochs
+        key, k_train = jax.random.split(key)
+        epoch_keys = jax.random.split(k_train, itnum)
 
         def _run(chunk):
-            nonlocal params, opt_state, epoch, key
-            key, k_run = jax.random.split(key)
+            nonlocal params, opt_state, epoch
             params, opt_state, losses = run_epochs(
-                params, opt_state, grad_mask, Z, x, y, idx, k_run, chunk
+                params, opt_state, grad_mask, Z, x, y, idx,
+                epoch_keys[epoch : epoch + chunk], chunk,
             )
             loss_list.extend(np.asarray(losses).tolist())
             time_list.extend([time.time() - ts] * int(losses.shape[0]))

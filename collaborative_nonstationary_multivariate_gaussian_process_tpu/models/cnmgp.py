@@ -215,7 +215,8 @@ class _Latents(NamedTuple):
 
 
 def _sample_latents(
-    params: CNMGPParams, Z, x, key, jitter=DSVI_JITTER, sigma2_g=1.0
+    params: CNMGPParams, Z, x, key, jitter=DSVI_JITTER, sigma2_g=1.0,
+    robust=False,
 ) -> _Latents:
     """One reparameterized draw of all latent processes at the batch inputs.
 
@@ -273,9 +274,15 @@ def _sample_latents(
     # conditional moments in f32 at the drivers' extreme init
     # lengthscales); Lp_inv itself only ever appears inside sums of
     # squares and M-vector projections.
-    Lp_all, Lp_inv = chol_tri_inv(
-        jnp.stack([K_te_22, K_L0_22, K_L1_22, K_G_22]) + jitter * eyeM
-    )
+    K_stack = jnp.stack([K_te_22, K_L0_22, K_L1_22, K_G_22]) + jitter * eyeM
+    if robust:
+        # predictive draws only: rescue the rare draw whose sampled ell(Z)
+        # makes a prior gram f32-rank-deficient (see chol_tri_inv_robust)
+        from ..ops.linalg import chol_tri_inv_robust
+
+        Lp_all, Lp_inv = chol_tri_inv_robust(K_stack, jitter)
+    else:
+        Lp_all, Lp_inv = chol_tri_inv(K_stack)
     K12s = jnp.stack([K_te_12, K_L0_12, K_L1_12])  # (3, B, M)
     A_stat = tri_solve_white(
         Lp_all[:3], Lp_inv[:3], K12s.transpose(0, 2, 1)
@@ -478,7 +485,7 @@ def sample_y_once(params: CNMGPParams, Z, x, idx, key, jitter=DSVI_JITTER):
     Use jax.vmap over keys for S draws.
     """
     k_lat, k_g, k_y = jax.random.split(key, 3)
-    lat = _sample_latents(params, Z, x, k_lat, jitter)
+    lat = _sample_latents(params, Z, x, k_lat, jitter, robust=True)
     # draw g from its marginal
     g_star = sample_diag(k_g, lat.mu_g, lat.sigma2_g, jitter)  # (D, B)
     onehot = jax.nn.one_hot(idx, params.num_outputs, dtype=x.dtype)
@@ -497,7 +504,7 @@ def sample_fy_once(params: CNMGPParams, Z, x, key, jitter=DSVI_JITTER):
     corr = Dg^{-1} L Lᵀ Dg^{-1}.
     """
     k_lat, k_g, k_y = jax.random.split(key, 3)
-    lat = _sample_latents(params, Z, x, k_lat, jitter)
+    lat = _sample_latents(params, Z, x, k_lat, jitter, robust=True)
     g_star = sample_diag(k_g, lat.mu_g, lat.sigma2_g, jitter)  # (D, B)
     F = jnp.einsum("bij,jb->bi", lat.L_full, g_star)  # (B, D)
     s2_err = jnp.exp(params.sigma2_err_log)

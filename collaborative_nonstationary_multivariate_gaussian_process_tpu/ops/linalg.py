@@ -37,6 +37,7 @@ __all__ = [
     "mgp_mean_var_white",
     "kl_gaussian_white",
     "chol_tri_inv",
+    "chol_tri_inv_robust",
     "tri_solve_white",
     "mgp_mean",
     "conditional_mean_cov",
@@ -271,6 +272,31 @@ def _chol_tri_inv_bwd(res, cot):
 
 
 chol_tri_inv.defvjp(_chol_tri_inv_fwd, _chol_tri_inv_bwd)
+
+
+def chol_tri_inv_robust(Ks, jitter, boost=100.0):
+    """`chol_tri_inv` with a one-shot deterministic jitter-boost retry for
+    batch members whose factorization went non-finite.
+
+    An f32 Cholesky of a near-singular prior gram can produce NaN for
+    extreme sampled lengthscales (observed: 1 of 200 ECoG M=200 predictive
+    draws, where ell(Z) drawn ~ exp(5) makes the Gibbs gram effectively
+    rank-deficient).  Failed members are refactorized with `boost * jitter`
+    added to the diagonal — the same idea as the reference's jittered
+    NaN-retry (distributions.py:55-96) but deterministic.  Well-conditioned
+    members are bit-identical to the plain path.  Costs a second batched
+    factorization, so this guards the PREDICTIVE paths only; the training
+    step keeps the single-factorization fast path (its NaN protection is
+    the nonfinite-grad -> 0 mask).
+
+    `Ks` must already include the base jitter on its diagonal.
+    """
+    L, Linv = chol_tri_inv(Ks)
+    bad = ~jnp.isfinite(jnp.sum(L, axis=(-2, -1), keepdims=True))
+    eye = jnp.eye(Ks.shape[-1], dtype=Ks.dtype)
+    K2 = Ks + jnp.where(bad, boost * jitter, 0.0) * eye
+    L2, Linv2 = chol_tri_inv(K2)
+    return jnp.where(bad, L2, L), jnp.where(bad, Linv2, Linv)
 
 
 @jax.custom_vjp

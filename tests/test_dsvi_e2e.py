@@ -161,3 +161,49 @@ def test_inference_resume_from_checkpoint(tmp_path):
     fresh_first = res1.loss_list[0]
     resumed_first = res2.loss_list[0]
     assert resumed_first < 0.7 * fresh_first
+
+
+def test_chunked_dispatch_rng_invariance():
+    """The dispatch-budget driver chunks epochs across dispatches at
+    timing-dependent boundaries; training must be bit-identical however the
+    epochs are chunked (pre-stacked per-epoch keys, infer/dsvi.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.dsvi import (
+        freeze_mask,
+        make_scan_epochs,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import cnmgp
+
+    D, M, N, B = 2, 4, 20, 8
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(np.sort(rng.random(N)))
+    y = jnp.sin(5 * x)
+    idx = jnp.asarray(rng.integers(0, D, N).astype(np.int32))
+    Z = jnp.linspace(0.0, 1.0, M, dtype=x.dtype)
+    params = cnmgp.init_params(jax.random.PRNGKey(0), D, M, dtype=x.dtype)
+    opt = optax.adam(0.01)
+    st = opt.init(params)
+    mask = freeze_mask(params, True)
+    nb = -(-N // B)
+    run = make_scan_epochs(opt, float(N), 1e-4, nb, B)
+
+    keys = jax.random.split(jax.random.PRNGKey(9), 6)
+
+    # monolithic: all 6 epochs in one dispatch
+    p1, s1, l1 = run(params, st, mask, Z, x, y, idx, keys, 6)
+    # chunked 1 + 2 + 3
+    p2, s2 = params, st
+    losses = []
+    for lo, hi in [(0, 1), (1, 3), (3, 6)]:
+        p2, s2, l = run(p2, s2, mask, Z, x, y, idx, keys[lo:hi], hi - lo)
+        losses.append(np.asarray(l))
+    np.testing.assert_array_equal(np.asarray(l1), np.concatenate(losses))
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # single-key API unchanged: splitting inside run == passing the stack
+    p3, _, l3 = run(params, st, mask, Z, x, y, idx, jax.random.PRNGKey(9), 6)
+    np.testing.assert_array_equal(np.asarray(l3), np.asarray(l1))

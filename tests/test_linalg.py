@@ -403,3 +403,35 @@ def test_chol_tri_inv_and_solve_white_grads_match_xla():
     # the value only depends on sym(K): compare symmetrized K-gradients
     sym = lambda g: 0.5 * (np.asarray(g) + np.asarray(g).swapaxes(-1, -2))
     np.testing.assert_allclose(sym(gK1), sym(gK2), rtol=1e-7, atol=1e-9)
+
+
+def test_chol_tri_inv_robust_boost_retry():
+    """A batch member with smallest eigenvalue -50*jitter makes the plain
+    Cholesky non-finite; the robust path refactorizes it with +100*jitter
+    (now spd) while leaving the well-conditioned member bit-identical."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        chol_tri_inv,
+        chol_tri_inv_robust,
+    )
+
+    M, jitter = 16, 1e-4
+    rng = np.random.default_rng(0)
+    q, _ = np.linalg.qr(rng.standard_normal((M, M)))
+    good = q @ np.diag(np.linspace(1.0, 2.0, M)) @ q.T
+    eigs = np.linspace(1.0, 2.0, M)
+    eigs[0] = -50.0 * jitter  # indefinite by more than the base jitter
+    bad = q @ np.diag(eigs) @ q.T
+    Ks = jnp.asarray(np.stack([good, bad]), jnp.float64) + jitter * jnp.eye(M)
+
+    L_plain, Li_plain = chol_tri_inv(Ks)
+    assert np.all(np.isfinite(np.asarray(L_plain[0])))
+    assert not np.all(np.isfinite(np.asarray(L_plain[1])))
+
+    L, Li = chol_tri_inv_robust(Ks, jitter)
+    assert np.all(np.isfinite(np.asarray(L))) and np.all(np.isfinite(np.asarray(Li)))
+    # untouched member is bit-identical to the plain factorization
+    np.testing.assert_array_equal(np.asarray(L[0]), np.asarray(L_plain[0]))
+    np.testing.assert_array_equal(np.asarray(Li[0]), np.asarray(Li_plain[0]))
+    # rescued member factorizes K + (1 + 100)*jitter I
+    ref = np.linalg.cholesky(np.asarray(Ks[1]) + 100.0 * jitter * np.eye(M))
+    np.testing.assert_allclose(np.asarray(L[1]), ref, rtol=1e-10, atol=1e-12)
