@@ -33,12 +33,26 @@ def _as_points(x):
 def sq_dist(x1, x2):
     """Pairwise squared Euclidean distances, (N1, d) x (N2, d) -> (N1, N2).
 
-    Uses ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a·b so the cross term is one
-    matmul (reference computes the O(N^2 d) broadcast difference instead,
-    code/utils.py:75-81).  Clipped at zero to guard the cancellation.
+    For low-dimensional inputs (every model in this framework: time, or
+    2-3d space) the EXACT broadcast difference is used, like the reference
+    (code/utils.py:75-81).  The ||a||^2 + ||b||^2 - 2 a·b expansion loses
+    ~eps * ||x||^2 ABSOLUTE accuracy to cancellation; at the HCP workload's
+    input scale (x up to 4800, length scale e^5) that error reaches the
+    1e-4 Cholesky jitter, the stationary grams go indefinite in f32, and
+    every training step NaNs (observed on both CPU f32 and TPU).  At small
+    d the cross term is a thin outer product with no MXU advantage, so the
+    exact form costs nothing.  For d > 4 the matmul expansion is kept,
+    input-centered (subtracting the mean cuts ||x||^2, and with it the
+    cancellation, by the squared data spread) and clamped at zero.
     """
     x1 = _as_points(x1)
     x2 = _as_points(x2)
+    if x1.shape[-1] <= 4:
+        diff = x1[:, None, :] - x2[None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+    c = 0.5 * (jnp.mean(x1, axis=0) + jnp.mean(x2, axis=0))
+    x1 = x1 - c
+    x2 = x2 - c
     n1 = jnp.sum(x1 * x1, axis=-1)[:, None]
     n2 = jnp.sum(x2 * x2, axis=-1)[None, :]
     cross = x1 @ x2.T

@@ -96,3 +96,29 @@ def test_gibbs_psd():
     K = np.asarray(gibbs(x, x, ell, ell, 1.0))
     w = np.linalg.eigvalsh(K)
     assert w.min() > -1e-8
+
+
+def test_sq_dist_exact_at_large_input_scale_f32():
+    """HCP-scale regression: with x up to 4800 and length scale e^5, the
+    ||a||^2+||b||^2-2ab expansion loses ~eps*||x||^2 to f32 cancellation
+    (order of the 1e-4 Cholesky jitter) and the stationary gram goes
+    indefinite — every HCP training step NaN'd.  sq_dist must be exact at
+    low d so chol(K + jitter I) stays finite in f32."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.kernels import (
+        rbf,
+        sq_dist,
+    )
+
+    x = jnp.asarray(np.linspace(0.0, 4800.0, 100), jnp.float32)
+    ls = float(np.exp(5.0))
+    # exactness vs f64 oracle
+    d2 = np.asarray(sq_dist(x / ls, x / ls), np.float64)
+    xx = np.asarray(x, np.float64) / ls
+    d2_ref = (xx[:, None] - xx[None, :]) ** 2
+    # f32-exact RELATIVE to the distance (the expansion's error was
+    # ABSOLUTE ~eps*||x||^2 — large even for near pairs, where it matters)
+    assert np.max(np.abs(d2 - d2_ref) / (1.0 + d2_ref)) < 1e-5
+    # the gram factorizes in f32 with the standard jitter
+    K = rbf(x, x, 1.0, ls) + 1e-4 * jnp.eye(100, dtype=jnp.float32)
+    L = jnp.linalg.cholesky(K)
+    assert bool(jnp.all(jnp.isfinite(L)))
