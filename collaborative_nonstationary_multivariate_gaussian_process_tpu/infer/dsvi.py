@@ -374,6 +374,14 @@ def inference(
             _run(1)  # steady-state epoch, timed
             epoch_s = max(time.time() - t1, 1e-6)
             budget_chunk = max(int(DISPATCH_BUDGET_S / epoch_s), 1)
+            if next_probe is None:
+                # equalize the remaining chunks so only ONE more program
+                # shape compiles (e.g. 48 epochs @ budget 21 -> 3 x 16,
+                # not 21 + 21 + 6)
+                remaining = itnum - epoch
+                if remaining > 0:
+                    k = -(-remaining // budget_chunk)
+                    budget_chunk = -(-remaining // k)
 
         while epoch < itnum:
             chunk = itnum - epoch
