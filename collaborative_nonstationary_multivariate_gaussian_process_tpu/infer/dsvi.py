@@ -81,14 +81,14 @@ def freeze_mask(params: CNMGPParams, fix_hyperpars: bool) -> CNMGPParams:
     )
 
 
-def make_train_step(optimizer, n_total: int, jitter: float):
+def make_train_step(optimizer, n_total: int, jitter: float, kl_mode: str = "true"):
     """Build a jitted (params, opt_state, batch, key) -> ... step."""
 
     @jax.jit
     def step(params, opt_state, grad_mask, Z, bx, by, bidx, bw, key):
         def loss_fn(p):
             return cnmgp.negative_selbo(
-                p, Z, bx, by, bidx, bw, n_total, key, jitter
+                p, Z, bx, by, bidx, bw, n_total, key, jitter, kl_mode
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -111,6 +111,7 @@ def make_scan_epochs(
     num_batches: int,
     batch_size: int,
     mesh=None,
+    kl_mode: str = "true",
 ):
     """Fused multi-epoch trainer: runs `n_epochs` epochs inside one jitted
     `lax.scan`, re-shuffling minibatches on-device each epoch.
@@ -181,6 +182,7 @@ def make_scan_epochs(
                     n_total,
                     k,
                     jitter,
+                    kl_mode,
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -264,6 +266,7 @@ def inference(
     elbo_every: int = 100,
     elbo_samples: int = 100,
     mesh=None,
+    kl_mode: str = "true",
 ) -> DSVIResult:
     """Train a CNMGP by DSVI.  Signature mirrors the reference `inference()`
     (nmgp_dsvi.py:758-761) so reference drivers port one-to-one.
@@ -319,8 +322,10 @@ def inference(
         )
 
     grad_mask = freeze_mask(params, fix_hyperpars)
-    step = make_train_step(optimizer, float(n_total), jitter)
-    elbo_fn = jax.jit(partial(cnmgp.elbo_estimate, n_sample=elbo_samples, jitter=jitter))
+    step = make_train_step(optimizer, float(n_total), jitter, kl_mode)
+    elbo_fn = jax.jit(
+        partial(cnmgp.elbo_estimate, n_sample=elbo_samples, jitter=jitter, kl_mode=kl_mode)
+    )
 
     loss_list: List[float] = []
     time_list: List[float] = []
@@ -340,7 +345,8 @@ def inference(
     fast_path = X_test_list is None and not do_stop_criterion and not verbose
     if fast_path:
         run_epochs = make_scan_epochs(
-            optimizer, float(n_total), jitter, num_batches, batch_size, mesh=mesh
+            optimizer, float(n_total), jitter, num_batches, batch_size, mesh=mesh,
+            kl_mode=kl_mode,
         )
 
         # Bound every dispatch's wall time (config.DISPATCH_BUDGET_S):
@@ -368,11 +374,26 @@ def inference(
             time_list.extend([time.time() - ts] * int(losses.shape[0]))
             epoch += chunk
 
+        def _probe():
+            nonlocal key, next_probe
+            key, k_elbo = jax.random.split(key)
+            elbo = float(elbo_fn(params, Z, x, y, idx, k_elbo))
+            elbo_trace.append(elbo)
+            print(f"epoch: {epoch}, ELBO: {elbo:.4f}")
+            profiling.print_mem(epoch)
+            next_probe += elbo_every
+
         if itnum > 2:
             _run(1)  # compile + first epoch
             t1 = time.time()
             _run(1)  # steady-state epoch, timed
             epoch_s = max(time.time() - t1, 1e-6)
+            if itnum > 3:
+                # min-of-2 calibration: one slow epoch (grant hiccup,
+                # background compile) must not miscalibrate the whole run
+                t2 = time.time()
+                _run(1)
+                epoch_s = max(min(epoch_s, time.time() - t2), 1e-6)
             budget_chunk = max(int(DISPATCH_BUDGET_S / epoch_s), 1)
             if next_probe is None:
                 # equalize the remaining chunks so only ONE more program
@@ -382,6 +403,11 @@ def inference(
                 if remaining > 0:
                     k = -(-remaining // budget_chunk)
                     budget_chunk = -(-remaining // k)
+            # calibration dispatches may have run past probe epochs
+            # (elbo_every < 4): fire the missed probes now so the loop's
+            # chunk = next_probe - epoch stays positive
+            while next_probe is not None and epoch >= next_probe:
+                _probe()
 
         while epoch < itnum:
             chunk = itnum - epoch
@@ -391,12 +417,7 @@ def inference(
                 chunk = min(chunk, next_probe - epoch)
             _run(chunk)
             if next_probe is not None and epoch >= next_probe:
-                key, k_elbo = jax.random.split(key)
-                elbo = float(elbo_fn(params, Z, x, y, idx, k_elbo))
-                elbo_trace.append(elbo)
-                print(f"epoch: {epoch}, ELBO: {elbo:.4f}")
-                profiling.print_mem(epoch)
-                next_probe += elbo_every
+                _probe()
         epoch = itnum - 1
         if show_ELBO:
             print(f"training takes {time.time() - ts:.2f}s")

@@ -355,7 +355,7 @@ def _sample_latents(
     )
 
 
-def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER):
+def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER, kl_mode="true"):
     """The three KL groups (nmgp_dsvi.py:266-295).
 
     Everything expensive is already computed by `_sample_latents`: the
@@ -366,33 +366,45 @@ def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER):
     q-side uses the fast diag-based logdet (see ops/linalg.kl_gaussian_chol)
     — at D=78 a batched re-Cholesky of the D^2 variational covariances would
     dominate the training step.
+
+    kl_mode: "true" (default) — the correct Gaussian KL;
+    "ref_compat" — the reference's KL as it actually computes, including
+    its diag-only trace term from old torch's triangular_solve upper=True
+    default (see ops/linalg.kl_gaussian_ref_compat).  Use ref_compat to
+    reproduce the reference's published optimization trajectory exactly.
     """
-    from ..ops.linalg import kl_gaussian_white
+    from ..ops.linalg import kl_gaussian_ref_compat, kl_gaussian_white
 
     D = params.num_outputs
 
     # per-prior scalars, order [te, L0, L1, G]
-    logdet_p = jnp.sum(
-        jnp.log(jnp.diagonal(lat.Lp_all, axis1=-2, axis2=-1)), axis=-1
-    )
+    Lp_diag = jnp.diagonal(lat.Lp_all, axis1=-2, axis2=-1)
+    logdet_p = jnp.sum(jnp.log(Lp_diag), axis=-1)
+
+    if kl_mode == "ref_compat":
+        def kl(mu_q, lq, _wh, ld_p, _jt, lp_inv, lp_d):
+            return kl_gaussian_ref_compat(mu_q, lq, lp_d, ld_p, lp_inv, jitter)
+    else:
+        def kl(mu_q, lq, wh, ld_p, jt, lp_inv, _lp_d):
+            return kl_gaussian_white(mu_q, lq, wh, ld_p, jt, lp_inv, jitter)
+
     jtrace = jitter * jnp.sum(lat.Lp_inv**2, axis=(-2, -1))
 
-    kl = partial(kl_gaussian_white, jitter=jitter)
     kl_W = jnp.sum(
-        kl(params.mu_W, tril_mask(params.sqrt_W), lat.Wh_W, logdet_p[3], jtrace[3], lat.Lp_inv[3])
+        kl(params.mu_W, tril_mask(params.sqrt_W), lat.Wh_W, logdet_p[3], jtrace[3], lat.Lp_inv[3], Lp_diag[3])
     )
     kl_v = kl(
-        params.mu_v, tril_mask(params.sqrt_v), lat.Wh_v, logdet_p[0], jtrace[0], lat.Lp_inv[0]
+        params.mu_v, tril_mask(params.sqrt_v), lat.Wh_v, logdet_p[0], jtrace[0], lat.Lp_inv[0], Lp_diag[0]
     )
 
     T0 = D * (D - 1) // 2
     sqrt_U_tril = tril_mask(params.sqrt_U)
     kl_U = jnp.sum(
-        kl(params.mu_U[T0:], sqrt_U_tril[T0:], lat.Wh_diag, logdet_p[2], jtrace[2], lat.Lp_inv[2])
+        kl(params.mu_U[T0:], sqrt_U_tril[T0:], lat.Wh_diag, logdet_p[2], jtrace[2], lat.Lp_inv[2], Lp_diag[2])
     )
     if D > 1:
         kl_U = kl_U + jnp.sum(
-            kl(params.mu_U[:T0], sqrt_U_tril[:T0], lat.Wh_off, logdet_p[1], jtrace[1], lat.Lp_inv[1])
+            kl(params.mu_U[:T0], sqrt_U_tril[:T0], lat.Wh_off, logdet_p[1], jtrace[1], lat.Lp_inv[1], Lp_diag[1])
         )
     return kl_W, kl_v, kl_U
 
@@ -432,17 +444,19 @@ def negative_selbo(
     n_total,
     key,
     jitter=DSVI_JITTER,
+    kl_mode="true",
 ):
     """-SELBO for one minibatch (the reference's `NMGP.forward`,
     nmgp_dsvi.py:157-301).
 
     x: (B,) or (B, d) inputs; y: (B,); idx: (B,) int output index;
     weight: (B,) 0/1 mask (padding); n_total: total observation count N.
+    kl_mode: see `_kl_terms`.
     """
     lat = _sample_latents(params, Z, x, key, jitter)
     batch_size = jnp.sum(weight)
     recon = _reconstruction(params, lat, y, idx, weight)
-    kl_W, kl_v, kl_U = _kl_terms(params, lat, jitter)
+    kl_W, kl_v, kl_U = _kl_terms(params, lat, jitter, kl_mode)
     selbo = n_total / batch_size * recon - kl_W - kl_v - kl_U
     return -selbo
 
@@ -456,6 +470,7 @@ def elbo_estimate(
     key,
     n_sample: int = 100,
     jitter=DSVI_JITTER,
+    kl_mode="true",
 ):
     """Monte-Carlo ELBO over the full data (reference `compute_ELBO`,
     nmgp_dsvi.py:303-404) — one jitted vmap over sample keys."""
@@ -464,7 +479,7 @@ def elbo_estimate(
     def one(k):
         lat = _sample_latents(params, Z, x, k, jitter)
         recon = _reconstruction(params, lat, y, idx, weight)
-        kls = _kl_terms(params, lat, jitter)
+        kls = _kl_terms(params, lat, jitter, kl_mode)
         return recon, sum(kls)
 
     recons, kls = jax.vmap(one)(jax.random.split(key, n_sample))

@@ -401,6 +401,38 @@ def _quadform_diag(A, W):
     return jnp.sum(C * C, axis=-1)
 
 
+def kl_gaussian_ref_compat(mu_q, scale_tril_q, Lp_diag, logdet_p, Lp_inv, jitter=DSVI_JITTER):
+    """The reference's KL_Gaussian as it ACTUALLY computes, quirk included.
+
+    The reference's trace term calls `torch.triangular_solve(input=Lq,
+    A=Lp)` without `upper=False` (/root/reference/code/utils.py:345); old
+    torch defaults to upper=True, which reads only the upper triangle of
+    the lower-triangular prior Cholesky — i.e. its DIAGONAL.  So the
+    reference optimizes
+
+        KL_ref = (logdet_p - logdet_q)
+                 + 0.5 * ( sum_ij (Lq2_ij / diag(Lp)_i)^2      <- quirk
+                           + ||Lp^{-1} mu_q||^2 - M )
+
+    with Lq2 = chol(Lq Lqᵀ + jI), instead of the true trace
+    ||Lp^{-1} Lq2||_F^2.  This function exists to reproduce the reference's
+    published optimization trajectory exactly (the NMGP_SIM protocol
+    freezes prior length-scale logs at {0, 2, 2}, where the prior grams are
+    far from diagonal and the two objectives differ substantially —
+    scripts/elbo_parity.py quantifies it).  The default KL (`kl_gaussian_
+    white`) is the mathematically correct one.
+    """
+    m = mu_q.shape[-1]
+    Sigma_q = jnp.einsum("...ij,...kj->...ik", scale_tril_q, scale_tril_q)
+    Lq2 = chol_with_jitter(Sigma_q, jitter)
+    logdet_q = jnp.sum(jnp.log(jnp.diagonal(Lq2, axis1=-2, axis2=-1)), axis=-1)
+    X = Lq2 / Lp_diag[..., :, None]
+    term2 = jnp.sum(X * X, axis=(-2, -1))
+    sol = jnp.einsum("ab,...b->...a", Lp_inv, mu_q)
+    maha = jnp.sum(sol * sol, axis=-1)
+    return (logdet_p - logdet_q) + 0.5 * (term2 + maha - m)
+
+
 def kl_gaussian_white(mu_q, scale_tril_q, W, logdet_p, jtrace, Lp_inv, jitter=DSVI_JITTER):
     """KL( N(mu_q, Lq Lqᵀ + jI) ‖ N(0, K_p + jI) ) from whitened pieces.
 

@@ -101,4 +101,36 @@ def load_train_state(
     o_def = jax.tree_util.tree_structure(opt_state_like)
     params = jax.tree_util.tree_unflatten(p_def, state["params"])
     opt_state = jax.tree_util.tree_unflatten(o_def, state["opt_state"])
+    params = _migrate_layout(params, params_like)
+    opt_state = _migrate_layout(opt_state, opt_state_like)
     return params, opt_state
+
+
+def _migrate_layout(tree, like):
+    """Migrate legacy checkpoint layouts to the current one.
+
+    Checkpoints written before the packed-U layout change hold dense
+    (D, D, M[, M]) `mu_U`/`sqrt_U` leaves (and matching Adam moments) where
+    the current layout expects packed (D(D+1)/2, M[, M]).  Detect the
+    dense->packed pattern per leaf and apply `pack_U`; any other shape
+    mismatch raises a clear error instead of failing opaquely downstream."""
+    from ..models.cnmgp import pack_U
+
+    def fix(leaf, ref):
+        leaf = np.asarray(leaf)
+        rs = tuple(np.shape(ref))
+        if leaf.shape == rs:
+            return leaf
+        if (
+            leaf.ndim == len(rs) + 1
+            and leaf.shape[0] == leaf.shape[1]
+            and leaf.shape[0] * (leaf.shape[0] + 1) // 2 == rs[0]
+            and leaf.shape[2:] == rs[1:]
+        ):
+            return np.asarray(pack_U(leaf))
+        raise ValueError(
+            f"checkpoint leaf shape {leaf.shape} does not match current "
+            f"layout {rs} — unsupported legacy checkpoint layout"
+        )
+
+    return jax.tree_util.tree_map(fix, tree, like)

@@ -40,13 +40,13 @@ HYPERPARS = {
 }
 
 
-def run_seed(data, M, seed, itnum=2000, lr=0.005, n_sample=1000):
+def run_seed(data, M, seed, itnum=2000, lr=0.005, n_sample=1000, kl_mode="true"):
     X_list, Y_list, Xt_list, Yt_list = load_sim_pickle(
         f"/root/reference/data/simulation/{data}.pickle")
     z = np.linspace(0, 1, M)
     res = inference(X_list, Y_list, z, batch_size=0, dim_outputs=len(X_list),
                     lr=lr, itnum=itnum, hyperpars=HYPERPARS, fix_hyperpars=True,
-                    seed=seed, show_ELBO=True, elbo_every=100)
+                    seed=seed, show_ELBO=True, elbo_every=100, kl_mode=kl_mode)
     ys_test, _, _, _ = sample_Y(res.params, res.Z, Xt_list, n_sample=n_sample, seed=seed)
     y_test = np.concatenate([np.asarray(y).reshape(-1) for y in Yt_list])
     test_index = np.concatenate(
@@ -63,12 +63,15 @@ if __name__ == "__main__":
     p.add_argument("--M", type=int, default=20)
     p.add_argument("--seeds", type=int, nargs="+", default=[0])
     p.add_argument("--itnum", type=int, default=2000)
+    p.add_argument("--kl-mode", default="true", choices=["true", "ref_compat"],
+                   help="ref_compat reproduces the reference's KL quirk "
+                        "(see ops/linalg.kl_gaussian_ref_compat)")
     p.add_argument("--out", default=None)
     a = p.parse_args()
     results = []
     for s in a.seeds:
         t0 = time.time()
-        r = run_seed(a.data, a.M, s, itnum=a.itnum)
+        r = run_seed(a.data, a.M, s, itnum=a.itnum, kl_mode=a.kl_mode)
         r["wallclock_s"] = time.time() - t0
         print(json.dumps({k: v for k, v in r.items() if k != "elbo_trace"}))
         print("  elbo_trace tail:", r["elbo_trace"][-3:])
@@ -76,7 +79,7 @@ if __name__ == "__main__":
     rmses = np.array([r["rmse"] for r in results])
     lens = np.array([r["ci_length"] for r in results])
     covs = np.array([r["coverage"] for r in results])
-    summary = dict(data=a.data, M=a.M, n_seeds=len(results),
+    summary = dict(data=a.data, M=a.M, kl_mode=a.kl_mode, n_seeds=len(results),
                    rmse_mean=float(rmses.mean()), rmse_std=float(rmses.std()),
                    ci_mean=float(lens.mean()), cov_mean=float(covs.mean()))
     print(json.dumps(summary))
