@@ -37,6 +37,17 @@ PRECISION = 1e-6
 # from a timed 1-epoch dispatch.  Override via CNMGP_DISPATCH_BUDGET_S.
 DISPATCH_BUDGET_S = float(os.environ.get("CNMGP_DISPATCH_BUDGET_S", "30.0"))
 
+# Run the large G-batched coefficient-process contractions (the ECoG-scale
+# hot spot: (G, M, M) whitening matmuls + the (G, B, M) variance quadform,
+# G = D(D+1)/2) as single-pass bf16 MXU matmuls with f32 accumulation.
+# f32 inputs on the v5e MXU otherwise lower to the 3-pass bf16x3 scheme —
+# ~3x the MXU work — and the bf16 operands halve the HBM traffic of the
+# 123 MB (G, M, M) tensors at D=78/M=100.  Read at TRACE time (scripts may
+# set `config.BF16_BATCH_MATMULS = True` before building a jitted step).
+# Off by default: flipped per-workload after parity validation
+# (scripts/bench_ecog.py --bf16; see docs/DESIGN.md).
+BF16_BATCH_MATMULS = os.environ.get("CNMGP_BF16_MATMULS", "0") == "1"
+
 
 def default_dtype():
     """Compute dtype: float64 iff jax x64 mode is on, else float32."""

@@ -38,7 +38,7 @@ from .hmc import (
     hmc_init,
 )
 
-__all__ = ["NUTSInfo", "nuts_kernel", "run_nuts"]
+__all__ = ["NUTSInfo", "nuts_kernel", "run_nuts", "run_nuts_multichain"]
 
 MAX_DELTA_ENERGY = 1000.0
 
@@ -475,5 +475,192 @@ def run_nuts(
         "step_size": eps_final,
         "inv_mass": inv_mass,
         "warmup_accept_mean": jnp.mean(warm_aps),
+    }
+    return positions, info
+
+
+def run_nuts_multichain(
+    log_prob_fn: Callable,
+    inits,
+    key,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    init_step_size: float = 0.1,
+    mass_adapt: bool = True,
+    dense_mass: bool = False,
+    segment_iters: int = 64,
+    progress: bool = False,
+):
+    """Vmapped multi-chain NUTS with host-chunked dispatch segments.
+
+    Same algorithm as `run_nuts` (identity-metric warmup with Welford
+    statistics, post-warmup mass estimate, short step-size re-adaptation,
+    fixed-kernel sampling), restructured for chain counts where one
+    monolithic scan would exceed the dispatch budget (multi-minute XLA
+    dispatches have crashed the remote TPU worker — config.DISPATCH_
+    BUDGET_S): every phase runs in jitted segments of `segment_iters`
+    iterations, compiled once each.  The RNG schedule is precomputed per
+    phase, so results are bit-identical for any `segment_iters`.
+
+    inits: (C, dim).  Returns (positions (C, S, dim), info dict) with
+    per-chain step sizes and mass matrices.
+    """
+    C, dim = inits.shape
+    dtype = inits.dtype
+    seg = max(int(segment_iters), 1)
+
+    k_find, k_warm, k_re, k_main = jax.random.split(key, 4)
+    inv0 = jnp.ones((dim,), dtype)
+
+    def _key_grid(k, a, b):
+        ks = jax.random.split(k, a * b)
+        return ks.reshape((a, b) + ks.shape[1:])
+
+    @jax.jit
+    def init_all(qs, kf):
+        st = jax.vmap(lambda q: hmc_init(log_prob_fn, q))(qs)
+        eps0 = jax.vmap(
+            lambda s, k: find_reasonable_step_size(log_prob_fn, s, k, inv0, init_step_size)
+        )(st, jax.random.split(kf, C))
+        return st, eps0
+
+    state, eps0 = init_all(inits, k_find)
+
+    total_warm = num_warmup
+    half = total_warm // 2
+
+    def _one_warm(cc, i, k):
+        st, da, mean, m2, cnt = cc
+        eps = jnp.exp(da.log_eps)
+        st, info = nuts_kernel(log_prob_fn, st, k, eps, inv0, max_depth)
+        da = da_update(da, info.accept_prob, target_accept)
+        in_w = i >= half
+        cnt = cnt + jnp.where(in_w, 1.0, 0.0)
+        delta = st.position - mean
+        mean = mean + jnp.where(in_w, delta / jnp.maximum(cnt, 1.0), 0.0)
+        if dense_mass:
+            m2 = m2 + jnp.where(in_w, jnp.outer(delta, st.position - mean), 0.0)
+        else:
+            m2 = m2 + jnp.where(in_w, delta * (st.position - mean), 0.0)
+        return (st, da, mean, m2, cnt), info.accept_prob
+
+    @jax.jit
+    def warm_seg(carry, i0, keys):
+        # segment length is the keys slice length (static at trace time):
+        # the host loop may pass one smaller remainder slice — that single
+        # extra compile buys bit-identical results for ANY segment_iters
+        L = keys.shape[0]
+
+        def body(c, inp):
+            i, ks = inp
+            c, aps = jax.vmap(lambda cc, k: _one_warm(cc, i, k))(c, ks)
+            return c, jnp.mean(aps)
+
+        return jax.lax.scan(body, carry, (i0 + jnp.arange(L), keys))
+
+    m2_0 = (
+        jnp.zeros((C, dim, dim), dtype) if dense_mass else jnp.zeros((C, dim), dtype)
+    )
+    carry = (
+        state,
+        jax.vmap(da_init)(eps0),
+        jnp.zeros((C, dim), dtype),
+        m2_0,
+        jnp.zeros((C,), dtype),
+    )
+    warm_keys = _key_grid(k_warm, total_warm, C)
+    warm_ap_means = []
+    n_wseg = -(-total_warm // seg)
+    for si in range(n_wseg):
+        lo, hi = si * seg, min((si + 1) * seg, total_warm)
+        carry, aps = warm_seg(carry, jnp.asarray(lo), warm_keys[lo:hi])
+        warm_ap_means.append(jnp.mean(aps))
+        if progress:
+            print(f"warmup segment {si + 1}/{n_wseg}", flush=True)
+    state, da, mean, m2, cnt = carry
+
+    if mass_adapt and total_warm > 10:
+        denom = jnp.maximum(cnt - 1.0, 1.0)
+        if dense_mass:
+            cov = m2 / denom[:, None, None]
+            w = (cnt / (cnt + 5.0))[:, None, None]
+            inv_mass = w * cov + (1e-3 * (1.0 - w)) * jnp.eye(dim, dtype=dtype)
+        else:
+            var = m2 / denom[:, None]
+            inv_mass = jnp.where(var > 1e-10, var, 1.0)
+    else:
+        inv_mass = (
+            jnp.tile(jnp.eye(dim, dtype=dtype), (C, 1, 1))
+            if dense_mass
+            else jnp.ones((C, dim), dtype)
+        )
+    eps_f = jnp.exp(da.log_eps_bar)
+
+    n_readapt = max(total_warm // 5, 1)
+    total_re = n_readapt
+
+    @jax.jit
+    def readapt_seg(st, da, im, keys):
+        def body(c, ks):
+            st, da = c
+            def one(s, d, k, m):
+                eps = jnp.exp(d.log_eps)
+                s, info = nuts_kernel(log_prob_fn, s, k, eps, m, max_depth)
+                d = da_update(d, info.accept_prob, target_accept)
+                return s, d
+            st, da = jax.vmap(one)(st, da, ks, im)
+            return (st, da), None
+        (st, da), _ = jax.lax.scan(body, (st, da), keys)
+        return st, da
+
+    da2 = jax.vmap(da_init)(eps_f)
+    re_keys = _key_grid(k_re, total_re, C)
+    for si in range(-(-total_re // seg)):
+        lo, hi = si * seg, min((si + 1) * seg, total_re)
+        state, da2 = readapt_seg(state, da2, inv_mass, re_keys[lo:hi])
+    eps_final = jnp.exp(da2.log_eps_bar)
+
+    n_mseg = -(-num_samples // seg)
+    total_main = num_samples
+
+    @jax.jit
+    def main_seg(st, eps, im, keys):
+        def body(s, ks):
+            def one(s1, k, e, m):
+                s1, info = nuts_kernel(log_prob_fn, s1, k, e, m, max_depth)
+                return s1, (s1.position, info.accept_prob, s1.log_prob,
+                            info.num_steps, info.diverging)
+            s, outs = jax.vmap(one, in_axes=(0, 0, 0, 0))(s, ks, eps, im)
+            return s, outs
+        return jax.lax.scan(body, st, keys)
+
+    main_keys = _key_grid(k_main, total_main, C)
+    pos_chunks, ap_chunks, lp_chunks, ns_chunks, dv_chunks = [], [], [], [], []
+    import numpy as _np
+
+    for si in range(n_mseg):
+        lo, hi = si * seg, min((si + 1) * seg, total_main)
+        state, (pos, aps, lps, nst, dvs) = main_seg(
+            state, eps_final, inv_mass, main_keys[lo:hi]
+        )
+        pos_chunks.append(_np.asarray(pos))
+        ap_chunks.append(_np.asarray(aps))
+        lp_chunks.append(_np.asarray(lps))
+        ns_chunks.append(_np.asarray(nst))
+        dv_chunks.append(_np.asarray(dvs))
+        if progress:
+            print(f"sampling segment {si + 1}/{n_mseg}", flush=True)
+
+    positions = _np.concatenate(pos_chunks).transpose(1, 0, 2)  # (C, S, dim)
+    info = {
+        "accept_prob": _np.concatenate(ap_chunks).T,
+        "log_prob": _np.concatenate(lp_chunks).T,
+        "num_steps": _np.concatenate(ns_chunks).T,
+        "diverging": _np.concatenate(dv_chunks).T,
+        "step_size": _np.asarray(eps_final),
+        "inv_mass": _np.asarray(inv_mass),
+        "warmup_accept_mean": float(jnp.mean(jnp.stack(warm_ap_means))),
     }
     return positions, info

@@ -39,6 +39,7 @@ from ..ops.linalg import (
     sample_full_cov,
     tri_solve_white,
     tril_mask,
+    tril_regularized,
 )
 
 __all__ = [
@@ -216,7 +217,7 @@ class _Latents(NamedTuple):
 
 def _sample_latents(
     params: CNMGPParams, Z, x, key, jitter=DSVI_JITTER, sigma2_g=1.0,
-    robust=False,
+    robust=False, kl_mode="true",
 ) -> _Latents:
     """One reparameterized draw of all latent processes at the batch inputs.
 
@@ -225,6 +226,12 @@ def _sample_latents(
       2. draw of every L_ij(x) via marginalized conditionals (MGP_d),
          batched over the two kernel groups
       3. analytic marginal mean/var of the shared latents g_d (MGP_mu_sigma2)
+
+    kl_mode "true" (default): variational factors go through
+    `tril_regularized` — q is exactly N(mu, L̃ L̃ᵀ), matching the exact
+    fast KL (ops/linalg.kl_gaussian_white).  "ref_compat": raw tril
+    factors with the reference's Σ + jI full-cov sampling jitter
+    (utils.py:40-64), for trajectory-exact reproduction.
     """
     D = params.num_outputs
     dtype = x.dtype
@@ -259,7 +266,14 @@ def _sample_latents(
     K_te_12, K_te_22 = _rbf_pair(s2_te, ls_te)
     K_L0_12, K_L0_22 = _rbf_pair(s2_L0, ls_L0)
     K_L1_12, K_L1_22 = _rbf_pair(s2_L1, ls_L1)
-    sampled_v = sample_full_cov(k_v, params.mu_v, tril_mask(params.sqrt_v), jitter)
+    if kl_mode == "ref_compat":
+        tril_fn = tril_mask
+        Lt_v = tril_mask(params.sqrt_v)
+        sampled_v = sample_full_cov(k_v, params.mu_v, Lt_v, jitter)
+    else:
+        tril_fn = partial(tril_regularized, jitter=jitter)
+        Lt_v = tril_fn(params.sqrt_v)
+        sampled_v = sample_full_cov(k_v, params.mu_v, Lt_v, 0.0)
     ell_Z = jnp.exp(sampled_v)
     K_G_22 = gibbs(Z, Z, ell_Z, ell_Z, sigma2_g).astype(dtype)
     M = Z.shape[0]
@@ -296,7 +310,7 @@ def _sample_latents(
     var_te = jnp.maximum(s2_te - jnp.sum(A_te * A_te, axis=0), 0.0)
     tilde_ell = sample_diag(k_te, mu_te, var_te, jitter)
     ell_X = jnp.exp(tilde_ell)
-    Wh_v = Lp_inv[0] @ tril_mask(params.sqrt_v)
+    Wh_v = Lp_inv[0] @ Lt_v
 
     # --- coefficient matrix L(x) ----------------------------------------
     # mgp_mean_var_white consumes the variational factors directly — no
@@ -307,7 +321,7 @@ def _sample_latents(
     # entries (K_L1 log-GP group) — contiguous slices, no gathers, and the
     # parameter/Adam HBM traffic is half the dense (D, D, M, M) table's
     T0 = D * (D - 1) // 2
-    Sigma_U_tril = tril_mask(params.sqrt_U)  # (G, M, M)
+    Sigma_U_tril = tril_fn(params.sqrt_U)  # (G, M, M)
 
     dd = jnp.arange(D)
     mu_diag = params.mu_U[T0:]  # (D, M)
@@ -337,7 +351,7 @@ def _sample_latents(
     A_G = tri_solve_white(Lp_all[3], Lp_inv[3], K_G_12.T)
     d11_g = jnp.full((B,), sigma2_g, dtype)
     mu_g, s2_g, Wh_W = mgp_mean_var_white(
-        A_G, Lp_inv[3], d11_g, params.mu_W, tril_mask(params.sqrt_W)
+        A_G, Lp_inv[3], d11_g, params.mu_W, tril_fn(params.sqrt_W)
     )
 
     return _Latents(
@@ -367,11 +381,17 @@ def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER, kl_mode="t
     — at D=78 a batched re-Cholesky of the D^2 variational covariances would
     dominate the training step.
 
-    kl_mode: "true" (default) — the correct Gaussian KL;
-    "ref_compat" — the reference's KL as it actually computes, including
-    its diag-only trace term from old torch's triangular_solve upper=True
-    default (see ops/linalg.kl_gaussian_ref_compat).  Use ref_compat to
-    reproduce the reference's published optimization trajectory exactly.
+    kl_mode: "true" (default) — the EXACT Gaussian KL for the regularized
+    factor family q = N(mu, L̃ L̃ᵀ), L̃ = tril_regularized(sqrt):
+    logdet_q is the plain diag product (no batched q-side Cholesky) and the
+    trace rides the whitened factors already computed for the conditional
+    variances.  "ref_compat" — the reference's KL as it actually computes
+    on raw tril factors with jitter on both sides, including its diag-only
+    trace term from old torch's triangular_solve upper=True default (see
+    ops/linalg.kl_gaussian_ref_compat); use it to reproduce the reference's
+    published optimization trajectory exactly.  The factors in `lat` were
+    built under the same mode by `_sample_latents`, so the whitened Wh_*
+    match the q-family the KL assumes.
     """
     from ..ops.linalg import kl_gaussian_ref_compat, kl_gaussian_white
 
@@ -382,29 +402,31 @@ def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER, kl_mode="t
     logdet_p = jnp.sum(jnp.log(Lp_diag), axis=-1)
 
     if kl_mode == "ref_compat":
-        def kl(mu_q, lq, _wh, ld_p, _jt, lp_inv, lp_d):
+        tril_fn = tril_mask
+
+        def kl(mu_q, lq, _wh, ld_p, lp_inv, lp_d):
             return kl_gaussian_ref_compat(mu_q, lq, lp_d, ld_p, lp_inv, jitter)
     else:
-        def kl(mu_q, lq, wh, ld_p, jt, lp_inv, _lp_d):
-            return kl_gaussian_white(mu_q, lq, wh, ld_p, jt, lp_inv, jitter)
+        tril_fn = partial(tril_regularized, jitter=jitter)
 
-    jtrace = jitter * jnp.sum(lat.Lp_inv**2, axis=(-2, -1))
+        def kl(mu_q, lq, wh, ld_p, lp_inv, _lp_d):
+            return kl_gaussian_white(mu_q, lq, wh, ld_p, lp_inv)
 
     kl_W = jnp.sum(
-        kl(params.mu_W, tril_mask(params.sqrt_W), lat.Wh_W, logdet_p[3], jtrace[3], lat.Lp_inv[3], Lp_diag[3])
+        kl(params.mu_W, tril_fn(params.sqrt_W), lat.Wh_W, logdet_p[3], lat.Lp_inv[3], Lp_diag[3])
     )
     kl_v = kl(
-        params.mu_v, tril_mask(params.sqrt_v), lat.Wh_v, logdet_p[0], jtrace[0], lat.Lp_inv[0], Lp_diag[0]
+        params.mu_v, tril_fn(params.sqrt_v), lat.Wh_v, logdet_p[0], lat.Lp_inv[0], Lp_diag[0]
     )
 
     T0 = D * (D - 1) // 2
-    sqrt_U_tril = tril_mask(params.sqrt_U)
+    sqrt_U_tril = tril_fn(params.sqrt_U)
     kl_U = jnp.sum(
-        kl(params.mu_U[T0:], sqrt_U_tril[T0:], lat.Wh_diag, logdet_p[2], jtrace[2], lat.Lp_inv[2], Lp_diag[2])
+        kl(params.mu_U[T0:], sqrt_U_tril[T0:], lat.Wh_diag, logdet_p[2], lat.Lp_inv[2], Lp_diag[2])
     )
     if D > 1:
         kl_U = kl_U + jnp.sum(
-            kl(params.mu_U[:T0], sqrt_U_tril[:T0], lat.Wh_off, logdet_p[1], jtrace[1], lat.Lp_inv[1], Lp_diag[1])
+            kl(params.mu_U[:T0], sqrt_U_tril[:T0], lat.Wh_off, logdet_p[1], lat.Lp_inv[1], Lp_diag[1])
         )
     return kl_W, kl_v, kl_U
 
@@ -453,7 +475,7 @@ def negative_selbo(
     weight: (B,) 0/1 mask (padding); n_total: total observation count N.
     kl_mode: see `_kl_terms`.
     """
-    lat = _sample_latents(params, Z, x, key, jitter)
+    lat = _sample_latents(params, Z, x, key, jitter, kl_mode=kl_mode)
     batch_size = jnp.sum(weight)
     recon = _reconstruction(params, lat, y, idx, weight)
     kl_W, kl_v, kl_U = _kl_terms(params, lat, jitter, kl_mode)
@@ -477,7 +499,7 @@ def elbo_estimate(
     weight = jnp.ones_like(y)
 
     def one(k):
-        lat = _sample_latents(params, Z, x, k, jitter)
+        lat = _sample_latents(params, Z, x, k, jitter, kl_mode=kl_mode)
         recon = _reconstruction(params, lat, y, idx, weight)
         kls = _kl_terms(params, lat, jitter, kl_mode)
         return recon, sum(kls)

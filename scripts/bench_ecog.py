@@ -23,9 +23,15 @@ def main():
     p.add_argument("--M", type=int, default=100)
     p.add_argument("--B", type=int, default=512)
     p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 G-batched matmuls w/ f32 accumulate "
+                        "(config.BF16_BATCH_MATMULS)")
     a = p.parse_args()
 
     import jax, jax.numpy as jnp, optax
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu import config
+    if a.bf16:
+        config.BF16_BATCH_MATMULS = True
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import cnmgp
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.dsvi import (
         freeze_mask, make_scan_epochs)
@@ -55,6 +61,7 @@ def main():
         rates.append(steps / (time.time() - t0))
     rate = float(np.median(rates))
     out = dict(workload="ecog_synthetic", D=D, N=N, M=a.M, B=a.B,
+               bf16=bool(a.bf16),
                steps=steps, steps_per_s=rate, step_ms=1000 / rate)
 
     # FLOPs/MFU: cost-analyze ONE train step (XLA counts loop bodies once,
@@ -74,7 +81,7 @@ def main():
         peak = peak_flops_per_s()
         if peak:
             out["mfu"] = round(fl * rate / peak, 5)
-            out["mfu_note"] = "f32 compute vs bf16 dense peak per chip"
+            out["mfu_note"] = ("bf16" if a.bf16 else "f32") + " compute vs bf16 dense peak per chip"
     print(json.dumps(out))
 
 

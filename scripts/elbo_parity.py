@@ -233,14 +233,14 @@ def reference_terms(model, X_list, Y_list, n_samples, corrected_kl=False):
     }
 
 
-def ours_terms(params, Z, x, y, idx, n_samples, key):
+def ours_terms(params, Z, x, y, idx, n_samples, key, kl_mode="true"):
     """Per-term arrays from our implementation (production path)."""
     w = jnp.ones_like(y)
 
     def one(k):
-        lat = cnmgp._sample_latents(params, Z, x, k, JITTER)
+        lat = cnmgp._sample_latents(params, Z, x, k, JITTER, kl_mode=kl_mode)
         recon = cnmgp._reconstruction(params, lat, y, idx, w)
-        kl_W, kl_v, kl_U = cnmgp._kl_terms(params, lat, JITTER)
+        kl_W, kl_v, kl_U = cnmgp._kl_terms(params, lat, JITTER, kl_mode)
         loss = -(N_TOTAL / x.shape[0] * recon - kl_W - kl_v - kl_U)
         return loss, recon, kl_W, kl_v, kl_U
 
@@ -319,13 +319,8 @@ def main():
 
     # our ref_compat mode must match the RAW reference exactly (the quirk
     # reproduced bit-for-bit on the deterministic KLs)
-    def one_compat(k):
-        lat = cnmgp._sample_latents(params, Z, x, k, JITTER)
-        kls = cnmgp._kl_terms(params, lat, JITTER, kl_mode="ref_compat")
-        return kls
-
-    kls_c = one_compat(jax.random.PRNGKey(0))
-    compat = {"kl_v": float(kls_c[1]), "kl_U": float(kls_c[2])}
+    oc1 = ours_terms(params, Z, x, y, idx, 1, jax.random.PRNGKey(0), kl_mode="ref_compat")
+    compat = {"kl_v": float(oc1["kl_v"][0]), "kl_U": float(oc1["kl_U"][0])}
 
     report["deterministic_kl"] = {
         "kl_v": {
@@ -355,52 +350,38 @@ def main():
     }
 
     # ---- stochastic terms: MC-converged means ----------------------------
+    # Headline: our ref_compat objective == the reference\'s ACTUAL objective
+    # (quirk included), MC-verified on every stochastic term.  The default
+    # (true/exact-KL) mode is also reported with its deltas — its recon term
+    # must agree (same sampling distribution up to the factor-family choice),
+    # its KLs differ by the documented exact-vs-jittered-family gap.
     S_REF, S_OURS = 1500, 20000
     torch.random.manual_seed(1)
-    r = reference_terms(model, X_list, Y_list, S_REF, corrected_kl=True)
-    o = ours_terms(params, Z, x, y, idx, S_OURS, jax.random.PRNGKey(1))
-    report["stochastic_corrected_ref_vs_ours"] = [
-        mc_compare(t, r[t], o[t]) for t in ("recon", "kl_W", "loss")
-    ]
-    torch.random.manual_seed(1)
     rr = reference_terms(model, X_list, Y_list, S_REF, corrected_kl=False)
-    report["stochastic_raw_ref_vs_ours"] = [
+    oc = ours_terms(params, Z, x, y, idx, S_OURS, jax.random.PRNGKey(1),
+                    kl_mode="ref_compat")
+    report["stochastic_raw_ref_vs_ours_ref_compat"] = [
+        mc_compare(t, rr[t], oc[t]) for t in ("recon", "kl_W", "loss")
+    ]
+    o = ours_terms(params, Z, x, y, idx, S_OURS, jax.random.PRNGKey(1))
+    report["stochastic_raw_ref_vs_ours_true"] = [
         mc_compare(t, rr[t], o[t]) for t in ("recon", "kl_W", "loss")
     ]
+    torch.random.manual_seed(1)
+    r = reference_terms(model, X_list, Y_list, S_REF, corrected_kl=True)
+    report["stochastic_corrected_ref_vs_ours_true"] = [
+        mc_compare(t, r[t], o[t]) for t in ("recon", "kl_W", "loss")
+    ]
 
-    # ---- gradient check (sigma2_err_log + mu_v[0]) on the corrected ref --
+    # ---- gradient check: RAW reference vs our ref_compat mode ------------
+    # (trajectory parity: same objective ⇒ same MC-mean gradients)
     S_G = 400
     torch.random.manual_seed(2)
     model.zero_grad()
-    orig_kl = ref_utils.KL_Gaussian
-
-    def kl_fixed(X_mu, X_Sigma, X2_mu, X2_Sigma, device0=None):
-        tt = ref.TensorType
-        j = ref_utils.tridiagonal_jitter
-        Sq = X_Sigma + torch.eye(X_Sigma.shape[-1]).type(tt) * j
-        Sp = X2_Sigma + torch.eye(X2_Sigma.shape[-1]).type(tt) * j
-        n = X_mu.shape[-1]
-        Lq = torch.linalg.cholesky(Sq)
-        Lp = torch.linalg.cholesky(Sp)
-        half1 = Lp.diagonal(dim1=-2, dim2=-1).log().sum(-1) - Lq.diagonal(
-            dim1=-2, dim2=-1
-        ).log().sum(-1)
-        A = torch.linalg.solve_triangular(Lp, Lq, upper=False)
-        term2 = A.pow(2).sum((-2, -1))
-        sol = torch.linalg.solve_triangular(
-            Lp, (X2_mu - X_mu).unsqueeze(-1), upper=False
-        )
-        term3 = sol.pow(2).sum((-2, -1))
-        return half1 + 0.5 * (term2 + term3 - n)
-
-    ref.KL_Gaussian = kl_fixed
-    try:
-        total = 0.0
-        for _ in range(S_G):
-            total = total + model.forward(X_list, Y_list)
-        (total / S_G).backward()
-    finally:
-        ref.KL_Gaussian = orig_kl
+    total = 0.0
+    for _ in range(S_G):
+        total = total + model.forward(X_list, Y_list)
+    (total / S_G).backward()
     g_ref = {
         "sigma2_err_log": float(model.sigma2_err_log.grad),
         "mu_v_norm": float(model.mu_v.grad.norm()),
@@ -409,9 +390,9 @@ def main():
 
     def mean_loss(p, key):
         def one(k):
-            lat = cnmgp._sample_latents(p, Z, x, k, JITTER)
+            lat = cnmgp._sample_latents(p, Z, x, k, JITTER, kl_mode="ref_compat")
             recon = cnmgp._reconstruction(p, lat, y, idx, jnp.ones_like(y))
-            kls = cnmgp._kl_terms(p, lat, JITTER)
+            kls = cnmgp._kl_terms(p, lat, JITTER, "ref_compat")
             return -(N_TOTAL / x.shape[0] * recon - sum(kls))
 
         return jnp.mean(jax.vmap(one)(jax.random.split(key, S_G)))
@@ -422,7 +403,7 @@ def main():
         "mu_v_norm": float(jnp.linalg.norm(g_ours_tree.mu_v)),
         "mu_W_norm": float(jnp.linalg.norm(g_ours_tree.mu_W)),
     }
-    report["gradients_corrected_ref_vs_ours_MC"] = {
+    report["gradients_raw_ref_vs_ours_ref_compat_MC"] = {
         "S": S_G,
         "reference": g_ref,
         "ours": g_ours,

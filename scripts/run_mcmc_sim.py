@@ -38,6 +38,8 @@ def main():
     p.add_argument("--warmup", type=int, default=400)
     p.add_argument("--samples", type=int, default=400)
     p.add_argument("--max-depth", type=int, default=8)
+    p.add_argument("--segment-iters", type=int, default=50,
+                   help="multichain NUTS: iterations per jitted dispatch")
     p.add_argument("--sampler", choices=["nuts", "hmc", "chees"], default="nuts")
     p.add_argument("--dense-mass", action="store_true",
                    help="adapt a dense mass matrix during NUTS warmup")
@@ -45,6 +47,10 @@ def main():
                    help="use the centered parameterization (default: whitened)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=None)
+    p.add_argument("--plots-dir", default=None,
+                   help="write true-vs-inferred overlay PNGs of the "
+                        "lengthscale/correlation processes here "
+                        "(reference synthetic_plot.py:101-142)")
     p.add_argument(
         "--steady",
         action="store_true",
@@ -202,6 +208,21 @@ def main():
                 "trajectory_length": jnp.exp(tuning.log_traj_length),
             }
             return jnp.swapaxes(jnp.asarray(pos), 0, 1), info
+    elif args.sampler == "nuts" and args.chains >= 16:
+        # large chain counts: segmented multichain driver — one monolithic
+        # vmapped scan at 64+ chains would exceed the dispatch budget and
+        # risk crashing the remote TPU worker (infer/nuts.run_nuts_multichain)
+        from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.nuts import (
+            run_nuts_multichain,
+        )
+
+        def sampler(inits, ks):
+            return run_nuts_multichain(
+                lp, inits, ks[0], num_warmup=args.warmup,
+                num_samples=args.samples, max_depth=args.max_depth,
+                dense_mass=args.dense_mass,
+                segment_iters=args.segment_iters, progress=True,
+            )
     else:
         runner = run_nuts if args.sampler == "nuts" else run_hmc
         kwargs = (
@@ -271,6 +292,28 @@ def main():
         out["steady_samples_per_s"] = steady_rate
         # same chains re-run compile-free: median ESS over steady wall time
         out["steady_ess_per_s"] = float(np.median(ess) / (total_draws / steady_rate))
+    if args.plots_dir:
+        from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.visualization import (
+            plot_process_overlay,
+        )
+
+        os.makedirs(args.plots_dir, exist_ok=True)
+        plot_process_overlay(
+            x, true_tilde_l, tl_q[1], quantiles=tl_q[[0, 2]],
+            ylabel="log lengthscale",
+            save_path=os.path.join(
+                args.plots_dir, f"nuts_recovery_log_lengthscale_N{N}.png"
+            ),
+        )
+        plot_process_overlay(
+            x, true_corr, corr_q[1], quantiles=corr_q[[0, 2]],
+            ylabel="correlation",
+            save_path=os.path.join(
+                args.plots_dir, f"nuts_recovery_correlation_N{N}.png"
+            ),
+        )
+        out["plots"] = sorted(os.listdir(args.plots_dir))
+
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:

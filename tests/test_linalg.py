@@ -338,31 +338,49 @@ def test_mgp_mean_var_white_matches_solve_form():
     np.testing.assert_allclose(W, Lp_inv @ L, rtol=1e-6, atol=1e-10)
 
 
-def test_kl_gaussian_white_matches_chol_fast():
-    """kl_gaussian_white == kl_gaussian_chol(exact_logdet=False) given the
-    shared whitened pieces."""
+def test_kl_gaussian_white_exact_for_regularized_family():
+    """kl_gaussian_white on tril_regularized factors is the EXACT KL of
+    q = N(mu, L̃ L̃ᵀ) vs N(0, Kp + jI) — checked against a dense oracle.
+
+    (The previous fast path approximated logdet(L Lᵀ + jI) by the diag
+    product, wrong by tens of nats for random 0.1-scale factors — the
+    regularized-family reparameterization makes the diag product exact.)"""
     RNG = np.random.default_rng(106)
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
         chol_with_jitter,
-        kl_gaussian_chol,
         kl_gaussian_white,
+        tril_regularized,
     )
     import jax.scipy.linalg as jsl
 
     Mi, Bn = 5, 4
     Kp = rand_spd(Mi)
+    Sp = np.asarray(Kp) + JITTER * np.eye(Mi)
     Lp = chol_with_jitter(jnp.asarray(Kp), JITTER)
     Lp_inv = jsl.solve_triangular(Lp, jnp.eye(Mi), lower=True)
     mus = jnp.asarray(RNG.normal(size=(Bn, Mi)))
-    Lqs = jnp.asarray(
-        np.stack([np.tril(RNG.normal(size=(Mi, Mi))) for _ in range(Bn)])
-    )
-    expected = kl_gaussian_chol(mus, Lqs, jnp.zeros(Mi), Lp, JITTER, exact_logdet=False)
-    W = jnp.einsum("ab,tbc->tac", Lp_inv, Lqs)
+    raw = jnp.asarray(RNG.normal(size=(Bn, Mi, Mi))) * 0.1
+    Lt = tril_regularized(raw, JITTER)
+    W = jnp.einsum("ab,tbc->tac", Lp_inv, Lt)
     logdet_p = jnp.sum(jnp.log(jnp.diagonal(Lp)))
-    jtrace = JITTER * jnp.sum(Lp_inv**2)
-    got = kl_gaussian_white(mus, Lqs, W, logdet_p, jtrace, Lp_inv, JITTER)
-    np.testing.assert_allclose(got, expected, rtol=1e-6)
+    got = kl_gaussian_white(mus, Lt, W, logdet_p, Lp_inv)
+
+    Sp_inv = np.linalg.inv(Sp)
+    _, logdet_Sp = np.linalg.slogdet(Sp)
+    for t in range(Bn):
+        Sq = np.asarray(Lt[t]) @ np.asarray(Lt[t]).T
+        _, logdet_Sq = np.linalg.slogdet(Sq)
+        mu = np.asarray(mus[t])
+        expected = 0.5 * (
+            np.trace(Sp_inv @ Sq) + mu @ Sp_inv @ mu - Mi + logdet_Sp - logdet_Sq
+        )
+        np.testing.assert_allclose(float(got[t]), expected, rtol=1e-8)
+
+    # the regularized diag is bounded away from zero, sign-preserving
+    d = np.diagonal(np.asarray(Lt), axis1=-2, axis2=-1)
+    assert np.all(np.abs(d) >= np.sqrt(JITTER) - 1e-12)
+    dr = np.diagonal(np.asarray(raw), axis1=-2, axis2=-1)
+    assert np.all(np.sign(d) == np.where(dr >= 0, 1.0, -1.0))
 
 
 def test_chol_tri_inv_and_solve_white_grads_match_xla():
@@ -435,3 +453,41 @@ def test_chol_tri_inv_robust_boost_retry():
     # rescued member factorizes K + (1 + 100)*jitter I
     ref = np.linalg.cholesky(np.asarray(Ks[1]) + 100.0 * jitter * np.eye(M))
     np.testing.assert_allclose(np.asarray(L[1]), ref, rtol=1e-10, atol=1e-12)
+
+
+def test_bf16_batch_matmul_policy():
+    """BF16_BATCH_MATMULS runs the G-batched contractions in bf16 with f32
+    accumulation; values stay within bf16 tolerance of the f32 path and the
+    flag never touches f64 (oracle) inputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu import config
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops import linalg
+
+    rng = np.random.default_rng(0)
+    G, M, B = 7, 12, 9
+    A = jnp.asarray(rng.standard_normal((M, B)), jnp.float32)
+    Lq = jnp.tril(jnp.asarray(rng.standard_normal((G, M, M)), jnp.float32))
+    Lp_inv = jnp.asarray(np.tril(rng.standard_normal((M, M))), jnp.float32)
+    d11 = jnp.ones((B,), jnp.float32)
+    mu = jnp.asarray(rng.standard_normal((G, M)), jnp.float32)
+
+    mean32, var32, W32 = linalg.mgp_mean_var_white(A, Lp_inv, d11, mu, Lq)
+    old = config.BF16_BATCH_MATMULS
+    try:
+        config.BF16_BATCH_MATMULS = True
+        mean16, var16, W16 = linalg.mgp_mean_var_white(A, Lp_inv, d11, mu, Lq)
+        # f64 inputs must be untouched by the policy
+        W64a = linalg._batched_mm(
+            "ab,...bc->...ac", Lp_inv.astype(jnp.float64), Lq.astype(jnp.float64)
+        )
+    finally:
+        config.BF16_BATCH_MATMULS = old
+
+    assert W16.dtype == jnp.float32  # f32 accumulation
+    assert W64a.dtype == jnp.float64
+    np.testing.assert_allclose(np.asarray(W16), np.asarray(W32), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(var16), np.asarray(var32), rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(mean16), np.asarray(mean32), rtol=1e-5, atol=1e-5)
