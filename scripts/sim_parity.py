@@ -40,7 +40,8 @@ HYPERPARS = {
 }
 
 
-def run_seed(data, M, seed, itnum=2000, lr=0.005, n_sample=1000, kl_mode="true"):
+def run_seed(data, M, seed, itnum=2000, lr=0.005, n_sample=1000, kl_mode="true",
+             plots_dir=None):
     X_list, Y_list, Xt_list, Yt_list = load_sim_pickle(
         f"/root/reference/data/simulation/{data}.pickle")
     z = np.linspace(0, 1, M)
@@ -53,6 +54,23 @@ def run_seed(data, M, seed, itnum=2000, lr=0.005, n_sample=1000, kl_mode="true")
         [np.full(len(np.asarray(x).reshape(-1)), d) for d, x in enumerate(Xt_list)])
     r, length, cov = predictive_summary(ys_test, y_test, test_index=test_index,
                                         dim_outputs=len(X_list))
+    if plots_dir:
+        # per-output posterior predictive bands on a 200-grid with the train
+        # scatter (reference Plot_posterior / nmgp_dsvi.py driver figures)
+        from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.visualization import (
+            plot_posterior, samples2quantiles)
+        D = len(X_list)
+        grids = np.linspace(0, 1, 200)
+        ys_g, _, _, _ = sample_Y(res.params, res.Z, [grids] * D,
+                                 n_sample=n_sample, seed=seed)
+        # (S, D*200) -> (200, S, D)
+        pos = ys_g.reshape(ys_g.shape[0], D, 200).transpose(2, 0, 1)
+        q = samples2quantiles(pos)
+        x_tr = np.ravel(np.asarray(X_list[0]))
+        Y_tr = np.stack([np.ravel(np.asarray(y)) for y in Y_list], axis=1)
+        plot_posterior(x_tr, Y_tr, grids, q, save_dir=plots_dir,
+                       attributes=[f"{data}_y{d + 1}_seed{seed}" for d in range(D)],
+                       type=f"DSVI_{kl_mode}")
     return dict(seed=seed, rmse=r, ci_length=length, coverage=float(np.mean(cov)),
                 elbo_trace=res.elbo_trace)
 
@@ -67,11 +85,14 @@ if __name__ == "__main__":
                    help="ref_compat reproduces the reference's KL quirk "
                         "(see ops/linalg.kl_gaussian_ref_compat)")
     p.add_argument("--out", default=None)
+    p.add_argument("--plots-dir", default=None,
+                   help="write posterior-band PNGs for the FIRST seed")
     a = p.parse_args()
     results = []
     for s in a.seeds:
         t0 = time.time()
-        r = run_seed(a.data, a.M, s, itnum=a.itnum, kl_mode=a.kl_mode)
+        r = run_seed(a.data, a.M, s, itnum=a.itnum, kl_mode=a.kl_mode,
+                     plots_dir=a.plots_dir if s == a.seeds[0] else None)
         r["wallclock_s"] = time.time() - t0
         print(json.dumps({k: v for k, v in r.items() if k != "elbo_trace"}))
         print("  elbo_trace tail:", r["elbo_trace"][-3:])
