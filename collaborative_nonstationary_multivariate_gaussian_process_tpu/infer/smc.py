@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .hmc import HMCState, hmc_kernel
 
-__all__ = ["SMCState", "run_smc", "log_marginal_likelihood"]
+__all__ = ["SMCState", "run_smc", "run_smc_staged", "log_marginal_likelihood"]
 
 
 class SMCState(NamedTuple):
@@ -174,6 +174,99 @@ def run_smc(
         "final_step_size": final.step_size,
     }
     return final.positions, info
+
+
+def run_smc_staged(
+    log_prior_fn: Callable,
+    log_like_fn: Callable,
+    init_positions,
+    key,
+    num_mutations: int = 5,
+    num_leapfrog: int = 16,
+    ess_target_frac: float = 0.5,
+    max_stages: int = 100,
+    init_step_size: float = 0.1,
+    target_accept: float = 0.65,
+    progress: bool = False,
+):
+    """`run_smc` with ONE jitted dispatch per tempering stage (host loop).
+
+    Identical math and RNG schedule to `run_smc` (the stage body is the
+    same closure), but the adaptive while-loop runs on the host: at large
+    particle counts a monolithic device loop can exceed the dispatch
+    budget and crash the remote worker (config.DISPATCH_BUDGET_S).
+    """
+    P, dim = init_positions.shape
+    dtype = init_positions.dtype
+    log_like0 = jax.vmap(jax.jit(log_like_fn))(init_positions)
+    state = SMCState(
+        positions=init_positions,
+        log_like=log_like0,
+        beta=jnp.zeros((), dtype),
+        log_z=jnp.zeros((), dtype),
+        step_size=jnp.asarray(init_step_size, dtype),
+        num_stages=jnp.zeros((), jnp.int32),
+    )
+
+    def tempered_logprob(beta):
+        def lp(q):
+            return log_prior_fn(q) + beta * log_like_fn(q)
+
+        return lp
+
+    @jax.jit
+    def stage(state, key):
+        key, k_beta, k_res, k_mut = jax.random.split(key, 4)
+        new_beta = _find_next_beta(state.log_like, state.beta, ess_target_frac, P)
+        dbeta = new_beta - state.beta
+        log_w = dbeta * state.log_like
+        log_z_inc = jax.scipy.special.logsumexp(log_w) - jnp.log(P * 1.0)
+        parents = _systematic_resample(k_res, log_w, P)
+        positions = state.positions[parents]
+        lp_fn = tempered_logprob(new_beta)
+        lps, grads = jax.vmap(jax.value_and_grad(lp_fn))(positions)
+        hmc_states = HMCState(positions, lps, grads)
+
+        def mutate(carry, k):
+            hs, eps = carry
+            keys = jax.random.split(k, P)
+            hs, aps = jax.vmap(
+                lambda st, kk: hmc_kernel(
+                    lp_fn, st, kk, eps, jnp.ones(dim, dtype), num_leapfrog
+                )
+            )(hs, keys)
+            mean_ap = jnp.mean(aps)
+            eps = eps * jnp.exp(0.5 * (mean_ap - target_accept))
+            return (hs, eps), mean_ap
+
+        (hmc_states, step_size), _ = jax.lax.scan(
+            mutate, (hmc_states, state.step_size), jax.random.split(k_mut, num_mutations)
+        )
+        new_log_like = jax.vmap(log_like_fn)(hmc_states.position)
+        return (
+            SMCState(
+                positions=hmc_states.position,
+                log_like=new_log_like,
+                beta=new_beta,
+                log_z=state.log_z + log_z_inc,
+                step_size=step_size,
+                num_stages=state.num_stages + 1,
+            ),
+            key,
+        )
+
+    n = 0
+    while float(state.beta) < 1.0 and n < max_stages:
+        state, key = stage(state, key)
+        n += 1
+        if progress:
+            print(f"smc stage {n}: beta={float(state.beta):.4f}", flush=True)
+    info = {
+        "log_z": state.log_z,
+        "num_stages": state.num_stages,
+        "final_step_size": state.step_size,
+    }
+    return state.positions, info
 
 
 def log_marginal_likelihood(

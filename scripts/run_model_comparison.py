@@ -40,7 +40,7 @@ def main():
     import jax.numpy as jnp
 
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.smc import (
-        run_smc,
+        run_smc, run_smc_staged,
     )
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import (
         logdensities as ld,
@@ -103,11 +103,19 @@ def main():
         return jnp.concatenate([scal, uL, ts2e], axis=1)
 
     t0 = time.time()
-    _, info = jax.jit(
-        lambda q0, k: run_smc(
-            lmc_log_prior, lmc_log_like, q0, k, num_mutations=args.mutations, num_leapfrog=16
+    if P > 512:
+        # host-staged: one dispatch per tempering stage (dispatch budget)
+        _, info = run_smc_staged(
+            lmc_log_prior, lmc_log_like,
+            lmc_prior_sampler(jax.random.PRNGKey(1), P), jax.random.PRNGKey(2),
+            num_mutations=args.mutations, num_leapfrog=16, progress=True,
         )
-    )(lmc_prior_sampler(jax.random.PRNGKey(1), P), jax.random.PRNGKey(2))
+    else:
+        _, info = jax.jit(
+            lambda q0, k: run_smc(
+                lmc_log_prior, lmc_log_like, q0, k, num_mutations=args.mutations, num_leapfrog=16
+            )
+        )(lmc_prior_sampler(jax.random.PRNGKey(1), P), jax.random.PRNGKey(2))
     results["lmc"] = dict(
         log_z=float(info["log_z"]),
         stages=int(info["num_stages"]),
@@ -150,11 +158,18 @@ def main():
         return jnp.concatenate([eta, uL, ts2e], axis=1)
 
     t0 = time.time()
-    _, info = jax.jit(
-        lambda q0, k: run_smc(
-            snmgp_log_prior, snmgp_log_like, q0, k, num_mutations=args.mutations, num_leapfrog=16
+    if P > 512:
+        _, info = run_smc_staged(
+            snmgp_log_prior, snmgp_log_like,
+            snmgp_prior_sampler(jax.random.PRNGKey(3), P), jax.random.PRNGKey(4),
+            num_mutations=args.mutations, num_leapfrog=16, progress=True,
         )
-    )(snmgp_prior_sampler(jax.random.PRNGKey(3), P), jax.random.PRNGKey(4))
+    else:
+        _, info = jax.jit(
+            lambda q0, k: run_smc(
+                snmgp_log_prior, snmgp_log_like, q0, k, num_mutations=args.mutations, num_leapfrog=16
+            )
+        )(snmgp_prior_sampler(jax.random.PRNGKey(3), P), jax.random.PRNGKey(4))
     results["snmgp"] = dict(
         log_z=float(info["log_z"]),
         stages=int(info["num_stages"]),
@@ -197,11 +212,18 @@ def main():
         return jnp.concatenate([eta, ts2e], axis=1)
 
     t0 = time.time()
-    _, info = jax.jit(
-        lambda q0, k: run_smc(
-            svc_log_prior, svc_log_like, q0, k, num_mutations=args.mutations, num_leapfrog=16
+    if P > 512:
+        _, info = run_smc_staged(
+            svc_log_prior, svc_log_like,
+            svc_prior_sampler(jax.random.PRNGKey(5), P), jax.random.PRNGKey(6),
+            num_mutations=args.mutations, num_leapfrog=16, progress=True,
         )
-    )(svc_prior_sampler(jax.random.PRNGKey(5), P), jax.random.PRNGKey(6))
+    else:
+        _, info = jax.jit(
+            lambda q0, k: run_smc(
+                svc_log_prior, svc_log_like, q0, k, num_mutations=args.mutations, num_leapfrog=16
+            )
+        )(svc_prior_sampler(jax.random.PRNGKey(5), P), jax.random.PRNGKey(6))
     results["svc"] = dict(
         log_z=float(info["log_z"]),
         stages=int(info["num_stages"]),

@@ -339,9 +339,9 @@ def test_run_nuts_multichain_moments_and_segment_invariance():
         return -0.5 * q @ S_inv @ q
 
     C = 4
-    inits = jnp.asarray(
-        np.random.default_rng(0).standard_normal((C, 2)), jnp.float32
-    )
+    # default dtype (f64 under the test conftest's x64 mode) so the lp
+    # matrix and the chain state promote identically inside scan carries
+    inits = jnp.asarray(np.random.default_rng(0).standard_normal((C, 2)))
     pos, info = run_nuts_multichain(
         lp, inits, jax.random.PRNGKey(0), num_warmup=200, num_samples=300,
         max_depth=6, segment_iters=64,
@@ -358,3 +358,32 @@ def test_run_nuts_multichain_moments_and_segment_invariance():
         max_depth=6, segment_iters=77,
     )
     np.testing.assert_array_equal(pos, pos2)
+
+
+def test_run_smc_staged_matches_while_loop():
+    """Host-staged SMC (one dispatch per tempering stage) is bit-identical
+    to the monolithic lax.while_loop version — same bodies, same RNG."""
+    import jax
+    import jax.numpy as jnp
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.smc import (
+        run_smc,
+        run_smc_staged,
+    )
+
+    def lp_prior(q):
+        return -0.5 * jnp.sum(q**2)
+
+    def lp_like(q):
+        return -0.5 * jnp.sum((q - 1.0) ** 2)
+
+    q0 = jax.random.normal(jax.random.PRNGKey(0), (64, 3))
+    pos1, i1 = run_smc(lp_prior, lp_like, q0, jax.random.PRNGKey(1),
+                       num_mutations=3, num_leapfrog=8)
+    pos2, i2 = run_smc_staged(lp_prior, lp_like, q0, jax.random.PRNGKey(1),
+                              num_mutations=3, num_leapfrog=8)
+    assert float(i1["log_z"]) == float(i2["log_z"])
+    assert int(i1["num_stages"]) == int(i2["num_stages"])
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(pos1), np.asarray(pos2))
