@@ -62,7 +62,14 @@ def _tpu_alive(total_budget_s: int = 1800, attempt_s: int = 650) -> bool:
 
 
 _ON_CPU = False
-if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and not _tpu_alive():
+# CNMGP_ASSUME_TPU=1: skip the probe (orchestrators that already hold or
+# are about to hold the chip claim in-process — a probe child could never
+# acquire the grant our own process holds)
+if (
+    os.environ.get("CNMGP_ASSUME_TPU") != "1"
+    and os.environ.get("JAX_PLATFORMS", "") not in ("cpu",)
+    and not _tpu_alive()
+):
     import jax
 
     jax.config.update("jax_platforms", "cpu")

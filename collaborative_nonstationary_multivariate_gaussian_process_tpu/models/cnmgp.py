@@ -393,7 +393,11 @@ def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER, kl_mode="t
     built under the same mode by `_sample_latents`, so the whitened Wh_*
     match the q-family the KL assumes.
     """
-    from ..ops.linalg import kl_gaussian_ref_compat, kl_gaussian_white
+    from ..ops.linalg import (
+        kl_gaussian_ref_compat,
+        kl_gaussian_white,
+        regularized_diag,
+    )
 
     D = params.num_outputs
 
@@ -402,31 +406,36 @@ def _kl_terms(params: CNMGPParams, lat: _Latents, jitter=DSVI_JITTER, kl_mode="t
     logdet_p = jnp.sum(jnp.log(Lp_diag), axis=-1)
 
     if kl_mode == "ref_compat":
-        tril_fn = tril_mask
+        # reference semantics need the full raw tril (exact chol of Σq + jI)
+        def qfac(X):
+            return tril_mask(X)
 
         def kl(mu_q, lq, _wh, ld_p, lp_inv, lp_d):
             return kl_gaussian_ref_compat(mu_q, lq, lp_d, ld_p, lp_inv, jitter)
     else:
-        tril_fn = partial(tril_regularized, jitter=jitter)
+        # exact fast KL needs only the regularized diag — O(M) per factor,
+        # no (G, M, M) re-materialization on the ECoG-scale hot path
+        def qfac(X):
+            return regularized_diag(X, jitter)
 
-        def kl(mu_q, lq, wh, ld_p, lp_inv, _lp_d):
-            return kl_gaussian_white(mu_q, lq, wh, ld_p, lp_inv)
+        def kl(mu_q, dq, wh, ld_p, lp_inv, _lp_d):
+            return kl_gaussian_white(mu_q, dq, wh, ld_p, lp_inv)
 
     kl_W = jnp.sum(
-        kl(params.mu_W, tril_fn(params.sqrt_W), lat.Wh_W, logdet_p[3], lat.Lp_inv[3], Lp_diag[3])
+        kl(params.mu_W, qfac(params.sqrt_W), lat.Wh_W, logdet_p[3], lat.Lp_inv[3], Lp_diag[3])
     )
     kl_v = kl(
-        params.mu_v, tril_fn(params.sqrt_v), lat.Wh_v, logdet_p[0], lat.Lp_inv[0], Lp_diag[0]
+        params.mu_v, qfac(params.sqrt_v), lat.Wh_v, logdet_p[0], lat.Lp_inv[0], Lp_diag[0]
     )
 
     T0 = D * (D - 1) // 2
-    sqrt_U_tril = tril_fn(params.sqrt_U)
+    sqrt_U_q = qfac(params.sqrt_U)
     kl_U = jnp.sum(
-        kl(params.mu_U[T0:], sqrt_U_tril[T0:], lat.Wh_diag, logdet_p[2], lat.Lp_inv[2], Lp_diag[2])
+        kl(params.mu_U[T0:], sqrt_U_q[T0:], lat.Wh_diag, logdet_p[2], lat.Lp_inv[2], Lp_diag[2])
     )
     if D > 1:
         kl_U = kl_U + jnp.sum(
-            kl(params.mu_U[:T0], sqrt_U_tril[:T0], lat.Wh_off, logdet_p[1], lat.Lp_inv[1], Lp_diag[1])
+            kl(params.mu_U[:T0], sqrt_U_q[:T0], lat.Wh_off, logdet_p[1], lat.Lp_inv[1], Lp_diag[1])
         )
     return kl_W, kl_v, kl_U
 

@@ -31,6 +31,7 @@ __all__ = [
     "diag_indices_of_trilvec",
     "sample_full_cov",
     "tril_regularized",
+    "regularized_diag",
     "sample_diag",
     "conditional_projection",
     "mgp_mean_var",
@@ -478,19 +479,27 @@ def tril_regularized(X, jitter=DSVI_JITTER):
     return jnp.where(eye, d_reg[..., :, None] * eye, L)
 
 
-def kl_gaussian_white(mu_q, scale_tril_reg, W, logdet_p, Lp_inv):
+def regularized_diag(X, jitter=DSVI_JITTER):
+    """|diag| of `tril_regularized(X, jitter)` without materializing the
+    (…, M, M) factor: sqrt(diag(X)² + jitter).  O(M) per matrix — the KL
+    logdet needs only this."""
+    d = jnp.diagonal(X, axis1=-2, axis2=-1)
+    return jnp.sqrt(d * d + jitter)
+
+
+def kl_gaussian_white(mu_q, dq_reg, W, logdet_p, Lp_inv):
     """KL( N(mu_q, L̃ L̃ᵀ) ‖ N(0, K_p + jI) ) from whitened pieces — EXACT.
 
-    `scale_tril_reg` is the regularized factor from `tril_regularized`
-    (diag bounded away from zero, so the diag-product logdet is the exact
-    logdet); W = Lp^{-1} L̃ comes free from `mgp_mean_var_white`;
-    `logdet_p` = sum log diag Lp is a per-prior scalar computed once.
+    `dq_reg` is the regularized factor diagonal (`regularized_diag`; the
+    diag of `tril_regularized`, bounded away from zero, so the diag-product
+    logdet is the exact logdet — no (…, M, M) re-materialization);
+    W = Lp^{-1} L̃ comes free from `mgp_mean_var_white`; `logdet_p` = sum
+    log diag Lp is a per-prior scalar computed once.
 
       KL = (logdet_p - logdet_q) + 0.5 (‖W‖_F² + ‖Lp^{-1} mu_q‖² - M)
     """
     m = mu_q.shape[-1]
-    dq = jnp.diagonal(scale_tril_reg, axis1=-2, axis2=-1)
-    logdet_q = jnp.sum(jnp.log(jnp.abs(dq)), axis=-1)
+    logdet_q = jnp.sum(jnp.log(jnp.abs(dq_reg)), axis=-1)
     trace = jnp.sum(W * W, axis=(-2, -1))
     sol = jnp.einsum("ab,...b->...a", Lp_inv, mu_q)
     maha = jnp.sum(sol * sol, axis=-1)

@@ -349,6 +349,7 @@ def test_kl_gaussian_white_exact_for_regularized_family():
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
         chol_with_jitter,
         kl_gaussian_white,
+        regularized_diag,
         tril_regularized,
     )
     import jax.scipy.linalg as jsl
@@ -363,7 +364,13 @@ def test_kl_gaussian_white_exact_for_regularized_family():
     Lt = tril_regularized(raw, JITTER)
     W = jnp.einsum("ab,tbc->tac", Lp_inv, Lt)
     logdet_p = jnp.sum(jnp.log(jnp.diagonal(Lp)))
-    got = kl_gaussian_white(mus, Lt, W, logdet_p, Lp_inv)
+    dq = regularized_diag(raw, JITTER)
+    np.testing.assert_allclose(
+        np.asarray(dq),
+        np.abs(np.diagonal(np.asarray(Lt), axis1=-2, axis2=-1)),
+        rtol=1e-12,
+    )
+    got = kl_gaussian_white(mus, dq, W, logdet_p, Lp_inv)
 
     Sp_inv = np.linalg.inv(Sp)
     _, logdet_Sp = np.linalg.slogdet(Sp)
