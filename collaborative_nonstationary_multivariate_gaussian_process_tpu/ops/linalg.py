@@ -44,6 +44,7 @@ __all__ = [
     "mgp_mean",
     "conditional_mean_cov",
     "joint_sample",
+    "joint_sample_full",
     "conditional_sample",
     "kl_gaussian",
     "kl_gaussian_chol",
@@ -165,12 +166,14 @@ def sample_full_cov(key, mean, scale_tril, jitter=DSVI_JITTER):
     """
     k1, k2 = jax.random.split(key)
     z1 = jax.random.normal(k1, mean.shape, dtype=mean.dtype)
+    out = mean + jnp.einsum("...ij,...j->...i", scale_tril, z1)
+    if isinstance(jitter, float) and jitter == 0.0:
+        # regularized-factor path (tril_regularized already carries the
+        # jitter): skip the dead z2 draw — the key schedule is unchanged
+        # (k2 is still split off) so jitter=0 draws stay reproducible
+        return out
     z2 = jax.random.normal(k2, mean.shape, dtype=mean.dtype)
-    return (
-        mean
-        + jnp.einsum("...ij,...j->...i", scale_tril, z1)
-        + jnp.sqrt(jnp.asarray(jitter, mean.dtype)) * z2
-    )
+    return out + jnp.sqrt(jnp.asarray(jitter, mean.dtype)) * z2
 
 
 # ---------------------------------------------------------------------------
@@ -551,6 +554,30 @@ def joint_sample(key, K12, K22, mu, scale_tril, K11_diag, jitter=DSVI_JITTER):
     return f, v
 
 
+def joint_sample_full(key, K12, K22, K11, mu, scale_tril, jitter=DSVI_JITTER):
+    """Full-covariance joint draw (f(X), v) — the reference's `JGP`
+    (code/utils.py:189-213): v ~ N(mu, L Lᵀ + jI), f | v from the FULL
+    conditional N(P v, K11 - P K12ᵀ + ...) — jointly,
+
+        [f; v] ~ N([P mu; mu], [[P Σ Pᵀ + B, P Σ], [Σ Pᵀ, Σ]]),
+        B = K11 - P K12ᵀ,  P = K12 (K22 + jI)^{-1}.
+
+    Unreachable from the reference's drivers (kept for API completeness);
+    sampled here WITHOUT assembling the (N+M)² joint covariance: draw
+    v = mu + L z2 (+ sqrt(j) z2'), then f = P v + chol(B + jI) z1 —
+    identical joint law, one (N, N) factorization instead of (N+M, N+M).
+    Returns (f (N,), v (M,)).
+    """
+    k_v, k_f = jax.random.split(key)
+    v = sample_full_cov(k_v, mu, scale_tril, jitter)
+    P = conditional_projection(K12, K22, jitter)
+    B = K11 - P @ K12.T
+    Lb = chol_with_jitter(0.5 * (B + B.T), jitter)
+    z = jax.random.normal(k_f, (K11.shape[0],), mu.dtype)
+    f = P @ v + Lb @ z
+    return f, v
+
+
 def conditional_sample(key, K12, K22, v, K11_diag, jitter=DSVI_JITTER):
     """Draw f | v from the factorized GP conditional given *fixed* inducing
     values v (reference `CGP`, code/utils.py:240-265)."""
@@ -592,12 +619,15 @@ def kl_gaussian_chol(mu_q, scale_tril_q, mu_p, Lp, jitter=DSVI_JITTER, exact_log
     `exact_logdet=True` computes logdet(Lq Lqᵀ + jI) via a batched Cholesky,
     matching the reference's jittered KL value bit-for-bit (code/
     utils.py:332-351).  `exact_logdet=False` replaces it with
-    sum(log(diag(Lq)^2 + j)) — exact at j=0 (det(L Lᵀ) = prod diag(L)^2) and
-    the same finite barrier against degenerate factors at j>0, but without
-    the batched M x M re-Cholesky, which dominates the DSVI step at large
-    output counts (D=78 ECoG: ~80 ms of a 181 ms step fwd+bwd on one TPU
-    chip).  The deviation is O(j * |tr(Sigma_q^{-1}) - sum diag^(-2)|) nats —
-    regression-bounded in tests/test_linalg.py.
+    sum(log(diag(Lq)^2 + j)) — exact only at j=0; at j>0 it can understate
+    the jittered logdet by tens of nats for random factors (the jitter
+    lifts ALL eigenvalues, not just the diagonal's contribution — the
+    round-3 defect root-caused in round 4, PARITY.md).  The DSVI hot path
+    therefore no longer uses this approximation: it evaluates the EXACT KL
+    of the regularized factor family instead (`tril_regularized` +
+    `kl_gaussian_white`).  The False branch remains only as a measured
+    lower-cost approximation for jittered-family call sites that can
+    tolerate it (deviation characterized in tests/test_linalg.py).
     """
     m = mu_q.shape[-1]
     if exact_logdet:

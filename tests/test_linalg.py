@@ -498,3 +498,44 @@ def test_bf16_batch_matmul_policy():
     np.testing.assert_allclose(np.asarray(W16), np.asarray(W32), rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(var16), np.asarray(var32), rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(np.asarray(mean16), np.asarray(mean32), rtol=1e-5, atol=1e-5)
+
+
+def test_joint_sample_full_moments():
+    """joint_sample_full (reference JGP, utils.py:189-213): the (f, v) draw
+    has the exact joint mean/covariance of the full conditional — checked by
+    MC against the assembled dense joint."""
+    import jax
+    import jax.numpy as jnp
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.kernels import rbf
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.ops.linalg import (
+        joint_sample_full,
+        tril_mask,
+    )
+
+    RNG = np.random.default_rng(42)
+    Nn, Mi = 6, 4
+    x = jnp.asarray(np.sort(RNG.random(Nn)))
+    z = jnp.asarray(np.linspace(0, 1, Mi))
+    K12 = rbf(x, z, 1.0, 0.4)
+    K22 = rbf(z, z, 1.0, 0.4)
+    K11 = rbf(x, x, 1.0, 0.4)
+    mu = jnp.asarray(RNG.normal(size=Mi))
+    Lq = tril_mask(jnp.asarray(RNG.normal(size=(Mi, Mi)) * 0.3))
+
+    S = 40000
+    keys = jax.random.split(jax.random.PRNGKey(0), S)
+    f, v = jax.vmap(lambda k: joint_sample_full(k, K12, K22, K11, mu, Lq, JITTER))(keys)
+    draws = np.concatenate([np.asarray(f), np.asarray(v)], axis=1)
+
+    j = JITTER
+    P = np.asarray(K12) @ np.linalg.inv(np.asarray(K22) + j * np.eye(Mi))
+    Sig = np.asarray(Lq) @ np.asarray(Lq).T + j * np.eye(Mi)
+    B = np.asarray(K11) - P @ np.asarray(K12).T + j * np.eye(Nn)
+    mean_exp = np.concatenate([P @ np.asarray(mu), np.asarray(mu)])
+    top = np.concatenate([P @ Sig @ P.T + B, P @ Sig], axis=1)
+    bot = np.concatenate([Sig @ P.T, Sig], axis=1)
+    cov_exp = np.concatenate([top, bot], axis=0)
+
+    np.testing.assert_allclose(draws.mean(0), mean_exp, atol=0.03)
+    np.testing.assert_allclose(np.cov(draws.T), cov_exp, atol=0.05)
