@@ -97,10 +97,53 @@ def main():
         with open("results/bench_ecog_tpu_r4_m128.json", "w") as f:
             json.dump(rec, f)
 
+    def hcp_refcompat():
+        run_script(
+            "scripts/run_workload.py",
+            ["hcp", "--kl-mode", "ref_compat",
+             "--out", "results/workload_hcp_tpu_r4_refcompat.json"],
+        )
+
+    def hcp_long():
+        run_script(
+            "scripts/run_workload.py",
+            ["hcp", "--itnum", "200",
+             "--out", "results/workload_hcp_tpu_r4_200ep.json"],
+        )
+
     step("bench", bench)
     step("ecog128", ecog128)
     step("profile100", profile100)
     step("profile128", profile128)
+    def smc2048():
+        run_script(
+            "scripts/run_model_comparison.py",
+            ["--particles", "2048",
+             "--out", "results/smc_model_comparison_tpu.json"],
+        )
+
+    def nuts128():
+        # 256 chains x 25-iter segments crashed the TPU worker in batch 1
+        # (~1.6M leapfrogs per dispatch); retry at 128 chains x 8-iter
+        # segments (~200k leapfrogs/dispatch), LAST so a crash costs nothing
+        run_script(
+            "scripts/run_mcmc_sim.py",
+            ["--N", "100", "--chains", "128", "--warmup", "200",
+             "--samples", "200", "--sampler", "nuts", "--segment-iters", "8",
+             "--out", "results/nuts_128chain_tpu.json"],
+        )
+        rows = []
+        for f in ("results/nuts_64chain_tpu.json", "results/nuts_128chain_tpu.json"):
+            if os.path.exists(f):
+                with open(f) as fh:
+                    rows.append(json.load(fh))
+        with open("results/nuts_multichain_tpu.json", "w") as fh:
+            json.dump(rows, fh, indent=2)
+
+    step("hcp_refcompat", hcp_refcompat)
+    step("hcp_long", hcp_long)
+    step("smc2048", smc2048)
+    step("nuts128", nuts128)
     print(json.dumps(status, indent=2))
 
 

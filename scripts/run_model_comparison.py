@@ -39,6 +39,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # dense-Cholesky likelihoods NaN under the TPU's default bf16-pass
+    # matmuls (observed: LMC/SVC log-Z NaN at 2048 particles on chip while
+    # SNMGP's Kronecker path survived); pin f32 like run_mcmc_sim does
+    jax.config.update("jax_default_matmul_precision", "float32")
+
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.smc import (
         run_smc, run_smc_staged,
     )

@@ -86,6 +86,7 @@ def main():
     p.add_argument("--itnum", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=22)
+    p.add_argument("--kl-mode", default="true", choices=["true", "ref_compat"])
     p.add_argument("--n-sample", type=int, default=200)
     p.add_argument("--out", default=None)
     p.add_argument("--checkpoint", default=None)
@@ -159,12 +160,14 @@ def main():
         PATH=args.checkpoint,
         continuous_training=args.resume,
         save_model=args.checkpoint is not None,
+        kl_mode=args.kl_mode,
     )
     train_s = time.time() - t0
     steps = len(res.loss_list)
     out = dict(
         workload=args.workload,
         source=source,
+        kl_mode=args.kl_mode,
         D=D,
         N=n_train,
         M=M,
