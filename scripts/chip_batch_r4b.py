@@ -140,8 +140,16 @@ def main():
         with open("results/nuts_multichain_tpu.json", "w") as fh:
             json.dump(rows, fh, indent=2)
 
+    def pm25_full():
+        run_script(
+            "scripts/run_workload.py",
+            ["pm25", "--full", "--itnum", "12",
+             "--out", "results/workload_pm25_full_tpu_r4.json"],
+        )
+
     step("hcp_refcompat", hcp_refcompat)
     step("hcp_long", hcp_long)
+    step("pm25_full", pm25_full)
     step("smc2048", smc2048)
     step("nuts128", nuts128)
     print(json.dumps(status, indent=2))
