@@ -222,3 +222,45 @@ def test_packed_U_layout_roundtrip_and_autopack(setup):
     T0 = D * (D - 1) // 2
     assert np.all(rows[:T0] > cols[:T0])
     assert np.all(rows[T0:] == cols[T0:])
+
+
+def test_ref_compat_mode_runs_and_differs():
+    """kl_mode='ref_compat' (the reference's objective, quirk included) is
+    finite, differentiable, and measurably different from the true-KL
+    objective in the frozen-smooth-prior regime where the quirk matters
+    (the f64 bit-level oracle lives in scripts/elbo_parity.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.models import cnmgp
+
+    D, M, B = 2, 10, 30
+    params = cnmgp.init_params(jax.random.PRNGKey(0), D, M, dtype=jnp.float64)
+    # the NMGP_SIM regime: very smooth coefficient priors
+    params = params._replace(
+        length_scales_L0_log=jnp.asarray(2.0, jnp.float64),
+        length_scales_L1_log=jnp.asarray(2.0, jnp.float64),
+        length_scales_tildeell_log=jnp.asarray(0.0, jnp.float64),
+    )
+    Z = jnp.linspace(0, 1, M)
+    x = jnp.linspace(0, 1, B)
+    y = jnp.sin(5 * x)
+    idx = jnp.zeros(B, jnp.int32)
+    w = jnp.ones(B)
+    key = jax.random.PRNGKey(1)
+
+    losses = {}
+    for mode in ("true", "ref_compat"):
+        fn = jax.jit(
+            lambda p, mode=mode: cnmgp.negative_selbo(
+                p, Z, x, y, idx, w, float(B), key, 1e-4, mode
+            )
+        )
+        val, grads = jax.value_and_grad(fn)(params)
+        losses[mode] = float(val)
+        assert np.isfinite(losses[mode])
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+    # the quirky trace term makes the objectives differ by many nats here
+    assert abs(losses["true"] - losses["ref_compat"]) > 10.0
