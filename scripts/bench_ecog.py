@@ -26,6 +26,10 @@ def main():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 G-batched matmuls w/ f32 accumulate "
                         "(config.BF16_BATCH_MATMULS)")
+    p.add_argument("--optimizer", default="adam", choices=["adam", "adafactor"],
+                   help="adafactor: factored second moment — the (G, M, M) "
+                        "parameter tables make Adam's optimizer-state HBM "
+                        "traffic ~38%% of the step at D=78")
     a = p.parse_args()
 
     import jax, jax.numpy as jnp, optax
@@ -43,7 +47,10 @@ def main():
     idx = jnp.asarray(np.repeat(np.arange(78), 800).astype(np.int32))
     Z = jnp.linspace(0, 800.0, a.M, dtype=jnp.float32)
     params = cnmgp.init_params(jax.random.PRNGKey(0), D, a.M, dtype=jnp.float32)
-    opt = optax.adam(0.005)
+    if a.optimizer == "adafactor":
+        opt = optax.adafactor(learning_rate=0.005)
+    else:
+        opt = optax.adam(0.005)
     st = opt.init(params)
     mask = freeze_mask(params, True)
     nb = -(-N // a.B)
@@ -61,7 +68,7 @@ def main():
         rates.append(steps / (time.time() - t0))
     rate = float(np.median(rates))
     out = dict(workload="ecog_synthetic", D=D, N=N, M=a.M, B=a.B,
-               bf16=bool(a.bf16),
+               bf16=bool(a.bf16), optimizer=a.optimizer,
                steps=steps, steps_per_s=rate, step_ms=1000 / rate)
 
     # FLOPs/MFU: cost-analyze ONE train step (XLA counts loop bodies once,

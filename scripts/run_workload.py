@@ -177,6 +177,14 @@ def main():
         steps_per_s=steps / train_s,
         train_s=train_s,
     )
+    # divergence diagnostics: where (if anywhere) the loss left its basin
+    la = np.asarray(res.loss_list, dtype=np.float64)
+    out["loss_min"] = float(np.nanmin(la))
+    out["loss_argmin"] = int(np.nanargmin(la))
+    bad = np.where(~np.isfinite(la))[0]
+    out["first_nonfinite_step"] = int(bad[0]) if bad.size else -1
+    blow = np.where(la > 10.0 * abs(float(np.nanmin(la))))[0]
+    out["first_blowup_step"] = int(blow[0]) if blow.size else -1
 
     has_test = any(len(np.ravel(v)) for v in Xt_list)
     if has_test:
