@@ -267,13 +267,20 @@ def inference(
     elbo_samples: int = 100,
     mesh=None,
     kl_mode: str = "true",
+    grad_clip_norm: Optional[float] = None,
 ) -> DSVIResult:
     """Train a CNMGP by DSVI.  Signature mirrors the reference `inference()`
     (nmgp_dsvi.py:758-761) so reference drivers port one-to-one.
 
     `mesh`: optional `jax.sharding.Mesh` with a "data" axis for
     data-parallel minibatches (see `make_scan_epochs`); applies to the fast
-    path (no per-step test trace / verbose / stop criterion)."""
+    path (no per-step test trace / verbose / stop criterion).
+
+    `grad_clip_norm`: optional global-norm gradient clip prepended to Adam
+    (the reference has no clipping and neither does our default; long
+    runs at the real-data drivers' aggressive settings can destabilize —
+    observed on the 200-epoch HCP workload — and a clip bounds the
+    excursion without changing converged behavior)."""
     from ..utils.data import flatten_output_lists
     from ..utils import checkpoint as ckpt
 
@@ -310,6 +317,10 @@ def inference(
     params = apply_hyperpars(params, hyperpars)
 
     optimizer = optax.adam(lr)
+    if grad_clip_norm is not None:
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(float(grad_clip_norm)), optax.adam(lr)
+        )
     opt_state = optimizer.init(params)
 
     if continuous_training and PATH is not None:

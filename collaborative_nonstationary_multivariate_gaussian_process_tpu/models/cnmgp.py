@@ -274,6 +274,13 @@ def _sample_latents(
         tril_fn = partial(tril_regularized, jitter=jitter)
         Lt_v = tril_fn(params.sqrt_v)
         sampled_v = sample_full_cov(k_v, params.mu_v, Lt_v, 0.0)
+    # f32 overflow guard: exp(|x| > 88) is inf, and an overflowed ell turns
+    # the Gibbs gram into garbage that the nonfinite-grad mask can't fully
+    # contain (observed: HCP run divergent after ~30 epochs at lr 0.01).
+    # |log ell| <= 30 is vastly beyond any meaningful lengthscale, so the
+    # clamp is semantics-free in the fitted region while keeping every
+    # downstream kernel entry finite.
+    sampled_v = jnp.clip(sampled_v, -30.0, 30.0)
     ell_Z = jnp.exp(sampled_v)
     K_G_22 = gibbs(Z, Z, ell_Z, ell_Z, sigma2_g).astype(dtype)
     M = Z.shape[0]
@@ -308,7 +315,7 @@ def _sample_latents(
     # clamp the Nystrom residual: float32 cancellation can exceed the
     # reparameterize jitter at large M (see ops/linalg.mgp_mean_var)
     var_te = jnp.maximum(s2_te - jnp.sum(A_te * A_te, axis=0), 0.0)
-    tilde_ell = sample_diag(k_te, mu_te, var_te, jitter)
+    tilde_ell = jnp.clip(sample_diag(k_te, mu_te, var_te, jitter), -30.0, 30.0)
     ell_X = jnp.exp(tilde_ell)
     Wh_v = Lp_inv[0] @ Lt_v
 

@@ -87,6 +87,7 @@ def main():
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=22)
     p.add_argument("--kl-mode", default="true", choices=["true", "ref_compat"])
+    p.add_argument("--grad-clip", type=float, default=None)
     p.add_argument("--n-sample", type=int, default=200)
     p.add_argument("--out", default=None)
     p.add_argument("--checkpoint", default=None)
@@ -161,6 +162,7 @@ def main():
         continuous_training=args.resume,
         save_model=args.checkpoint is not None,
         kl_mode=args.kl_mode,
+        grad_clip_norm=args.grad_clip,
     )
     train_s = time.time() - t0
     steps = len(res.loss_list)
