@@ -87,7 +87,11 @@ def main():
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=22)
     p.add_argument("--kl-mode", default="true", choices=["true", "ref_compat"])
-    p.add_argument("--grad-clip", type=float, default=None)
+    p.add_argument("--grad-clip", type=float, default=1000.0,
+                   help="global-norm gradient clip for the real-data "
+                        "drivers (0 disables).  Bounds the slow "
+                        "destabilization observed on 200-epoch HCP runs "
+                        "(docs/DESIGN.md §15); inactive on healthy steps")
     p.add_argument("--n-sample", type=int, default=200)
     p.add_argument("--out", default=None)
     p.add_argument("--checkpoint", default=None)
@@ -162,7 +166,7 @@ def main():
         continuous_training=args.resume,
         save_model=args.checkpoint is not None,
         kl_mode=args.kl_mode,
-        grad_clip_norm=args.grad_clip,
+        grad_clip_norm=args.grad_clip if args.grad_clip else None,
     )
     train_s = time.time() - t0
     steps = len(res.loss_list)
