@@ -280,3 +280,24 @@ def test_checkpoint_legacy_dense_U_migration(tmp_path):
     ckpt.save_train_state(path2, bad, bad_opt)
     with pytest.raises(ValueError, match="legacy checkpoint layout"):
         ckpt.load_train_state(path2, params, opt_state)
+
+
+def test_grad_clip_option_wires_through():
+    """inference(grad_clip_norm=...) trains finitely and differs from the
+    unclipped run only when clipping is active (tiny threshold here)."""
+    X_list, Y_list, _, _ = load_sim_pickle(PICKLE)
+    z = np.linspace(0, 1, 6)
+    res_clip = inference(
+        X_list, Y_list, z, batch_size=0, dim_outputs=2, lr=0.01, itnum=6,
+        hyperpars=HYPERPARS, seed=0, show_ELBO=False, grad_clip_norm=1.0,
+    )
+    res_free = inference(
+        X_list, Y_list, z, batch_size=0, dim_outputs=2, lr=0.01, itnum=6,
+        hyperpars=HYPERPARS, seed=0, show_ELBO=False,
+    )
+    a = np.asarray(res_clip.loss_list)
+    b = np.asarray(res_free.loss_list)
+    assert np.all(np.isfinite(a))
+    # initial gradients are far above norm 1, so the clipped trajectory
+    # must actually differ
+    assert not np.allclose(a, b)
