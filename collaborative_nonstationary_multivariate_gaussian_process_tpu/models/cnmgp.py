@@ -529,16 +529,18 @@ def elbo_estimate(
 # ---------------------------------------------------------------------------
 
 
-def sample_y_once(params: CNMGPParams, Z, x, idx, key, jitter=DSVI_JITTER):
+def sample_y_once(params: CNMGPParams, Z, x, idx, key, jitter=DSVI_JITTER,
+                  kl_mode="true"):
     """One posterior-predictive draw at flat inputs x with output rows idx.
 
     Mirrors one iteration of `NMGP.sample_Y` (nmgp_dsvi.py:435-486): here g is
     *drawn* (not analytically marginalized).  Returns
     (y_star (B,), l_star (B, D), g_star (D, B), tilde_ell (B,)).
-    Use jax.vmap over keys for S draws.
+    Use jax.vmap over keys for S draws.  `kl_mode` selects the variational
+    factor family to match how the model was trained (see `_sample_latents`).
     """
     k_lat, k_g, k_y = jax.random.split(key, 3)
-    lat = _sample_latents(params, Z, x, k_lat, jitter, robust=True)
+    lat = _sample_latents(params, Z, x, k_lat, jitter, robust=True, kl_mode=kl_mode)
     # draw g from its marginal
     g_star = sample_diag(k_g, lat.mu_g, lat.sigma2_g, jitter)  # (D, B)
     onehot = jax.nn.one_hot(idx, params.num_outputs, dtype=x.dtype)
@@ -549,7 +551,8 @@ def sample_y_once(params: CNMGPParams, Z, x, idx, key, jitter=DSVI_JITTER):
     return y_star, l_star, g_star, lat.tilde_ell
 
 
-def sample_fy_once(params: CNMGPParams, Z, x, key, jitter=DSVI_JITTER):
+def sample_fy_once(params: CNMGPParams, Z, x, key, jitter=DSVI_JITTER,
+                   kl_mode="true"):
     """One draw of (tilde_ell, Y(B,D), corr(B,D,D)) at common inputs x.
 
     Mirrors one iteration of `NMGP.sample_FY` (nmgp_dsvi.py:516-575): all D
@@ -557,7 +560,7 @@ def sample_fy_once(params: CNMGPParams, Z, x, key, jitter=DSVI_JITTER):
     corr = Dg^{-1} L Lᵀ Dg^{-1}.
     """
     k_lat, k_g, k_y = jax.random.split(key, 3)
-    lat = _sample_latents(params, Z, x, k_lat, jitter, robust=True)
+    lat = _sample_latents(params, Z, x, k_lat, jitter, robust=True, kl_mode=kl_mode)
     g_star = sample_diag(k_g, lat.mu_g, lat.sigma2_g, jitter)  # (D, B)
     F = jnp.einsum("bij,jb->bi", lat.L_full, g_star)  # (B, D)
     s2_err = jnp.exp(params.sigma2_err_log)

@@ -64,6 +64,7 @@ def sample_Y(
     n_sample: int = 1000,
     seed: int = 0,
     jitter: float = DSVI_JITTER,
+    kl_mode: str = "true",
 ):
     """S posterior predictive draws at heterotopic inputs.
 
@@ -75,7 +76,8 @@ def sample_Y(
     keys = jax.random.split(jax.random.PRNGKey(seed), n_sample)
     draw = jax.jit(
         jax.vmap(
-            partial(cnmgp.sample_y_once, jitter=jitter), in_axes=(None, None, None, None, 0)
+            partial(cnmgp.sample_y_once, jitter=jitter, kl_mode=kl_mode),
+            in_axes=(None, None, None, None, 0),
         )
     )
     return _chunked_draws(lambda k: draw(params, Z, x, idx, k), keys, 4)
@@ -88,6 +90,7 @@ def sample_FY(
     n_sample: int = 1000,
     seed: int = 0,
     jitter: float = DSVI_JITTER,
+    kl_mode: str = "true",
 ):
     """S draws of (tilde_ell, all-output Y, correlation process) at common
     inputs x.  Matches reference `NMGP.sample_FY` (nmgp_dsvi.py:493-580):
@@ -96,7 +99,10 @@ def sample_FY(
     x = jnp.asarray(np.asarray(x).reshape(-1), Z.dtype)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_sample)
     draw = jax.jit(
-        jax.vmap(partial(cnmgp.sample_fy_once, jitter=jitter), in_axes=(None, None, None, 0))
+        jax.vmap(
+            partial(cnmgp.sample_fy_once, jitter=jitter, kl_mode=kl_mode),
+            in_axes=(None, None, None, 0),
+        )
     )
     return _chunked_draws(lambda k: draw(params, Z, x, k), keys, 3)
 
