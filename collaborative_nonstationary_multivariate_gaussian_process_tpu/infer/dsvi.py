@@ -268,6 +268,7 @@ def inference(
     mesh=None,
     kl_mode: str = "true",
     grad_clip_norm: Optional[float] = None,
+    lr_decay: Optional[float] = None,
 ) -> DSVIResult:
     """Train a CNMGP by DSVI.  Signature mirrors the reference `inference()`
     (nmgp_dsvi.py:758-761) so reference drivers port one-to-one.
@@ -280,7 +281,12 @@ def inference(
     (the reference has no clipping and neither does our default; long
     runs at the real-data drivers' aggressive settings can destabilize —
     observed on the 200-epoch HCP workload — and a clip bounds the
-    excursion without changing converged behavior)."""
+    excursion without changing converged behavior).
+
+    `lr_decay`: optional per-EPOCH exponential decay rate for the Adam
+    learning rate (e.g. 0.99).  The post-minimum loss oscillation on long
+    runs (docs/DESIGN.md §15) is the classic constant-lr limit cycle; a
+    mild decay converges it.  None keeps the reference's constant lr."""
     from ..utils.data import flatten_output_lists
     from ..utils import checkpoint as ckpt
 
@@ -316,6 +322,13 @@ def inference(
     )
     params = apply_hyperpars(params, hyperpars)
 
+    if lr_decay is not None:
+        num_batches_sched = -(-n_total // batch_size)
+        lr = optax.exponential_decay(
+            init_value=lr,
+            transition_steps=num_batches_sched,
+            decay_rate=float(lr_decay),
+        )
     optimizer = optax.adam(lr)
     if grad_clip_norm is not None:
         optimizer = optax.chain(

@@ -87,6 +87,8 @@ def main():
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=22)
     p.add_argument("--kl-mode", default="true", choices=["true", "ref_compat"])
+    p.add_argument("--lr-decay", type=float, default=None,
+                   help="per-epoch exponential lr decay (e.g. 0.99)")
     p.add_argument("--grad-clip", type=float, default=1000.0,
                    help="global-norm gradient clip for the real-data "
                         "drivers (0 disables).  Bounds the slow "
@@ -167,6 +169,7 @@ def main():
         save_model=args.checkpoint is not None,
         kl_mode=args.kl_mode,
         grad_clip_norm=args.grad_clip if args.grad_clip else None,
+        lr_decay=args.lr_decay,
     )
     train_s = time.time() - t0
     steps = len(res.loss_list)
