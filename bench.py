@@ -42,6 +42,7 @@ def _tpu_alive(total_budget_s: int = 1800, attempt_s: int = 650) -> bool:
     )
     t0 = time.time()
     live = []  # orphaned still-running probes from earlier attempts
+    fast_failures = 0
     while time.time() - t0 < total_budget_s:
         p = subprocess.Popen(
             [sys.executable, "-c", code],
@@ -58,6 +59,19 @@ def _tpu_alive(total_budget_s: int = 1800, attempt_s: int = 650) -> bool:
             if p.poll() is not None:  # this attempt exited (nonzero): retry now
                 break
             time.sleep(2)
+        if p.poll() is not None and p.poll() != 0:
+            # distinguish transient tunnel errors (slow failures, worth
+            # retrying) from deterministic ones (plugin missing/broken —
+            # failing within seconds): three consecutive fast failures
+            # mean the backend will never come up, so stop burning the
+            # window respawning children every poll tick
+            if time.time() - t_att < 10.0:
+                fast_failures += 1
+                if fast_failures >= 3:
+                    return False
+                time.sleep(5)
+            else:
+                fast_failures = 0
     return any(q.poll() == 0 for q in live)
 
 

@@ -429,7 +429,11 @@ def inference(
                     budget_chunk = -(-remaining // k)
             # calibration dispatches may have run past probe epochs
             # (elbo_every < 4): fire the missed probes now so the loop's
-            # chunk = next_probe - epoch stays positive
+            # chunk = next_probe - epoch stays positive.  NB the replayed
+            # probes evaluate at the CURRENT (post-calibration) params —
+            # the first 1-3 trace entries of an elbo_every<4 run are
+            # duplicates by construction (the pre-calibration params are
+            # gone); entry count stays aligned with the probe schedule
             while next_probe is not None and epoch >= next_probe:
                 _probe()
 

@@ -571,12 +571,13 @@ def run_nuts_multichain(
         jnp.zeros((C,), dtype),
     )
     warm_keys = _key_grid(k_warm, total_warm, C)
-    warm_ap_means = []
+    warm_ap_sums = []
     n_wseg = -(-total_warm // seg)
     for si in range(n_wseg):
         lo, hi = si * seg, min((si + 1) * seg, total_warm)
         carry, aps = warm_seg(carry, jnp.asarray(lo), warm_keys[lo:hi])
-        warm_ap_means.append(jnp.mean(aps))
+        # per-iteration SUM so a ragged remainder segment isn't overweighted
+        warm_ap_sums.append(jnp.sum(aps))
         if progress:
             print(f"warmup segment {si + 1}/{n_wseg}", flush=True)
     state, da, mean, m2, cnt = carry
@@ -661,6 +662,8 @@ def run_nuts_multichain(
         "diverging": _np.concatenate(dv_chunks).T,
         "step_size": _np.asarray(eps_final),
         "inv_mass": _np.asarray(inv_mass),
-        "warmup_accept_mean": float(jnp.mean(jnp.stack(warm_ap_means))),
+        "warmup_accept_mean": float(
+            jnp.sum(jnp.stack(warm_ap_sums)) / total_warm
+        ),
     }
     return positions, info

@@ -45,8 +45,14 @@ def _plt():
 
 
 def samples2quantiles(pos_sample, percentiles=(2.5, 50.0, 97.5)):
-    """Samples (N_grid, S, M) -> quantiles (P, N_grid, M)
-    (reference visualization.py:9-17)."""
+    """Samples (N_grid, S, M) -> quantiles (P, N_grid, M) — reduces AXIS 1
+    (the reference's visualization.py:9-17 convention).
+
+    NB: `utils.posterior_analysis.samples2quantiles` reduces axis 0 (the
+    reference's posterior-analysis convention, draws leading).  Both
+    mirror their reference namesakes; pick the module matching your array
+    layout.
+    """
     return np.percentile(np.asarray(pos_sample), q=list(percentiles), axis=1)
 
 

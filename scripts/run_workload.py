@@ -188,12 +188,18 @@ def main():
     )
     # divergence diagnostics: where (if anywhere) the loss left its basin
     la = np.asarray(res.loss_list, dtype=np.float64)
-    out["loss_min"] = float(np.nanmin(la))
-    out["loss_argmin"] = int(np.nanargmin(la))
-    bad = np.where(~np.isfinite(la))[0]
-    out["first_nonfinite_step"] = int(bad[0]) if bad.size else -1
-    blow = np.where(la > 10.0 * abs(float(np.nanmin(la))))[0]
-    out["first_blowup_step"] = int(blow[0]) if blow.size else -1
+    if np.all(~np.isfinite(la)):  # all-NaN run must still produce the artifact
+        out["loss_min"] = float("nan")
+        out["loss_argmin"] = -1
+        out["first_nonfinite_step"] = 0
+        out["first_blowup_step"] = -1
+    else:
+        out["loss_min"] = float(np.nanmin(la))
+        out["loss_argmin"] = int(np.nanargmin(la))
+        bad = np.where(~np.isfinite(la))[0]
+        out["first_nonfinite_step"] = int(bad[0]) if bad.size else -1
+        blow = np.where(la > 10.0 * abs(float(np.nanmin(la))))[0]
+        out["first_blowup_step"] = int(blow[0]) if blow.size else -1
 
     has_test = any(len(np.ravel(v)) for v in Xt_list)
     if has_test:
@@ -207,6 +213,7 @@ def main():
             index=keep,
             n_sample=args.n_sample,
             seed=args.seed,
+            kl_mode=args.kl_mode,
         )
         y_test = np.concatenate([Yt[i] for i in keep])
         rmse, ci, cov = predictive_summary(ys, y_test)
@@ -239,7 +246,8 @@ def main():
         # draws of the per-point corr matrices (reference est_corrs_train,
         # NMGP_ECoG_full.py:321-339)
         _, _, corrs = sample_FY(
-            res.params, res.Z, grids, n_sample=args.n_sample, seed=args.seed
+            res.params, res.Z, grids, n_sample=args.n_sample, seed=args.seed,
+            kl_mode=args.kl_mode,
         )
         est_corrs = corrs.mean(axis=0)  # (G, D, D)
         direction = direction_correlation_curves(

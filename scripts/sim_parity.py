@@ -48,7 +48,8 @@ def run_seed(data, M, seed, itnum=2000, lr=0.005, n_sample=1000, kl_mode="true",
     res = inference(X_list, Y_list, z, batch_size=0, dim_outputs=len(X_list),
                     lr=lr, itnum=itnum, hyperpars=HYPERPARS, fix_hyperpars=True,
                     seed=seed, show_ELBO=True, elbo_every=100, kl_mode=kl_mode)
-    ys_test, _, _, _ = sample_Y(res.params, res.Z, Xt_list, n_sample=n_sample, seed=seed)
+    ys_test, _, _, _ = sample_Y(res.params, res.Z, Xt_list, n_sample=n_sample,
+                                seed=seed, kl_mode=kl_mode)
     y_test = np.concatenate([np.asarray(y).reshape(-1) for y in Yt_list])
     test_index = np.concatenate(
         [np.full(len(np.asarray(x).reshape(-1)), d) for d, x in enumerate(Xt_list)])
@@ -62,7 +63,7 @@ def run_seed(data, M, seed, itnum=2000, lr=0.005, n_sample=1000, kl_mode="true",
         D = len(X_list)
         grids = np.linspace(0, 1, 200)
         ys_g, _, _, _ = sample_Y(res.params, res.Z, [grids] * D,
-                                 n_sample=n_sample, seed=seed)
+                                 n_sample=n_sample, seed=seed, kl_mode=kl_mode)
         # (S, D*200) -> (200, S, D)
         pos = ys_g.reshape(ys_g.shape[0], D, 200).transpose(2, 0, 1)
         q = samples2quantiles(pos)
