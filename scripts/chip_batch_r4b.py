@@ -1,73 +1,25 @@
 """Round-4 chip batch #2: bench re-measure + ECoG step profile, one grant.
 
 Runs after chip_batch_r4.py: re-measures the flagship bench with the final
-round-4 code (the dead-z2 sampling skip landed after batch #1's bench) and
-decomposes the ECoG step for the MFU writeup (M=100 and the MXU-aligned
-M=128 point).
+round-4 code, decomposes the ECoG step for the MFU writeup (M=100 and the
+MXU-aligned M=128 point), probes the HCP calibration question, and re-runs
+the 2048-particle SMC with the f32-matmul-precision fix.
 """
 
-import io
 import json
 import os
-import runpy
-import sys
 import time
-import traceback
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
-os.chdir(REPO)
-os.environ["CNMGP_ASSUME_TPU"] = "1"
+from _chip_batch_util import last_json_line, make_stepper, run_script, setup_batch_env
 
-
-class Tee(io.TextIOBase):
-    def __init__(self, *streams):
-        self.streams = streams
-
-    def write(self, s):
-        for st in self.streams:
-            st.write(s)
-        return len(s)
-
-    def flush(self):
-        for st in self.streams:
-            st.flush()
-
-
-def run_script(script, argv):
-    old_argv = sys.argv
-    buf = io.StringIO()
-    old_stdout = sys.stdout
-    sys.stdout = Tee(old_stdout, buf)
-    try:
-        sys.argv = [script] + argv
-        runpy.run_path(os.path.join(REPO, script), run_name="__main__")
-    finally:
-        sys.argv = old_argv
-        sys.stdout = old_stdout
-    return buf.getvalue()
+setup_batch_env()
 
 
 def main():
-    status = {}
-
-    def step(name, fn):
-        t0 = time.time()
-        print(f"\n===== step {name} =====", flush=True)
-        try:
-            fn()
-            status[name] = {"ok": True, "wall_s": round(time.time() - t0, 1)}
-        except Exception:
-            traceback.print_exc()
-            status[name] = {"ok": False, "wall_s": round(time.time() - t0, 1)}
-        print(f"===== step {name} done: {status[name]} =====", flush=True)
-        with open("results/chip_batch_r4b_status.json", "w") as f:
-            json.dump(status, f, indent=2)
+    step, status = make_stepper("results/chip_batch_r4b_status.json")
 
     def bench():
-        out = run_script("bench.py", [])
-        line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
-        rec = json.loads(line)
+        rec = last_json_line(run_script("bench.py", []))
         rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
         # keep the better of batch-1 / batch-2 as the round artifact
         # (same code path; run-to-run grant variance is the only difference)
@@ -81,51 +33,44 @@ def main():
         with open("results/bench_tpu_r4_run2.json", "w") as f:
             json.dump(rec, f)
 
-    def profile100():
-        run_script("scripts/bench_ecog_profile.py",
-                   ["--M", "100", "--out", "results/ecog_step_profile_m100.json"])
-
-    def profile128():
-        run_script("scripts/bench_ecog_profile.py",
-                   ["--M", "128", "--out", "results/ecog_step_profile_m128.json"])
-
     def ecog128():
-        out = run_script("scripts/bench_ecog.py", ["--M", "128", "--B", "512"])
-        line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
-        rec = json.loads(line)
+        rec = last_json_line(
+            run_script("scripts/bench_ecog.py", ["--M", "128", "--B", "512"])
+        )
         rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
         with open("results/bench_ecog_tpu_r4_m128.json", "w") as f:
             json.dump(rec, f)
 
-    def hcp_refcompat():
-        run_script(
-            "scripts/run_workload.py",
-            ["hcp", "--kl-mode", "ref_compat",
-             "--out", "results/workload_hcp_tpu_r4_refcompat.json"],
-        )
-
-    def hcp_long():
-        run_script(
-            "scripts/run_workload.py",
-            ["hcp", "--itnum", "200",
-             "--out", "results/workload_hcp_tpu_r4_200ep.json"],
-        )
-
     step("bench", bench)
     step("ecog128", ecog128)
-    step("profile100", profile100)
-    step("profile128", profile128)
-    def smc2048():
-        run_script(
-            "scripts/run_model_comparison.py",
-            ["--particles", "2048",
-             "--out", "results/smc_model_comparison_tpu.json"],
-        )
+    step("profile100", lambda: run_script(
+        "scripts/bench_ecog_profile.py",
+        ["--M", "100", "--out", "results/ecog_step_profile_m100.json"]))
+    step("profile128", lambda: run_script(
+        "scripts/bench_ecog_profile.py",
+        ["--M", "128", "--out", "results/ecog_step_profile_m128.json"]))
+    step("hcp_refcompat", lambda: run_script(
+        "scripts/run_workload.py",
+        ["hcp", "--kl-mode", "ref_compat",
+         "--out", "results/workload_hcp_tpu_r4_refcompat.json"]))
+    step("hcp_long", lambda: run_script(
+        "scripts/run_workload.py",
+        ["hcp", "--itnum", "200",
+         "--out", "results/workload_hcp_tpu_r4_200ep.json"]))
+    step("pm25_full", lambda: run_script(
+        "scripts/run_workload.py",
+        ["pm25", "--full", "--itnum", "12",
+         "--out", "results/workload_pm25_full_tpu_r4.json"]))
+    step("smc2048", lambda: run_script(
+        "scripts/run_model_comparison.py",
+        ["--particles", "2048",
+         "--out", "results/smc_model_comparison_tpu.json"]))
 
     def nuts128():
         # 256 chains x 25-iter segments crashed the TPU worker in batch 1
-        # (~1.6M leapfrogs per dispatch); retry at 128 chains x 8-iter
-        # segments (~200k leapfrogs/dispatch), LAST so a crash costs nothing
+        # (~1.6M leapfrogs per dispatch); 128 chains x 8-iter segments
+        # (~200k leapfrogs/dispatch) run clean — LAST so a crash costs
+        # nothing (docs/DESIGN.md §13)
         run_script(
             "scripts/run_mcmc_sim.py",
             ["--N", "100", "--chains", "128", "--warmup", "200",
@@ -140,17 +85,6 @@ def main():
         with open("results/nuts_multichain_tpu.json", "w") as fh:
             json.dump(rows, fh, indent=2)
 
-    def pm25_full():
-        run_script(
-            "scripts/run_workload.py",
-            ["pm25", "--full", "--itnum", "12",
-             "--out", "results/workload_pm25_full_tpu_r4.json"],
-        )
-
-    step("hcp_refcompat", hcp_refcompat)
-    step("hcp_long", hcp_long)
-    step("pm25_full", pm25_full)
-    step("smc2048", smc2048)
     step("nuts128", nuts128)
     print(json.dumps(status, indent=2))
 
