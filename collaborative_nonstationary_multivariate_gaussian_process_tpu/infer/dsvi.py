@@ -50,6 +50,9 @@ class DSVIResult:
     time_list: List[float]
     elbo_trace: List[float] = field(default_factory=list)
     rmse_test_list: List[float] = field(default_factory=list)
+    # fast-path test trace: (wall_seconds, epochs_done, rmse) at each
+    # dispatch boundary (see `inference(chunked_test_trace=True)`)
+    rmse_trace: List[tuple] = field(default_factory=list)
 
 
 def apply_hyperpars(params: CNMGPParams, hyperpars: Optional[Dict[str, float]]):
@@ -269,6 +272,7 @@ def inference(
     kl_mode: str = "true",
     grad_clip_norm: Optional[float] = None,
     lr_decay: Optional[float] = None,
+    chunked_test_trace: bool = False,
 ) -> DSVIResult:
     """Train a CNMGP by DSVI.  Signature mirrors the reference `inference()`
     (nmgp_dsvi.py:758-761) so reference drivers port one-to-one.
@@ -286,7 +290,16 @@ def inference(
     `lr_decay`: optional per-EPOCH exponential decay rate for the Adam
     learning rate (e.g. 0.99).  The post-minimum loss oscillation on long
     runs (docs/DESIGN.md §15) is the classic constant-lr limit cycle; a
-    mild decay converges it.  None keeps the reference's constant lr."""
+    mild decay converges it.  None keeps the reference's constant lr.
+
+    `chunked_test_trace`: with `X_test_list` given, stay on the scan fast
+    path and record test RMSE only at dispatch boundaries (every
+    DISPATCH_BUDGET_S seconds) into `result.rmse_trace` as
+    (wall_s, epochs_done, rmse) tuples.  This is the TPU-native version of
+    the reference's per-step `do_test` trace (nmgp_dsvi.py:865-868), which
+    would serialize a host round-trip into every step; RMSE-vs-wallclock
+    curves (the train_trace_BS study, NMGP_PM25.py:244-263) only need
+    O(seconds) resolution."""
     from ..utils.data import flatten_output_lists
     from ..utils import checkpoint as ckpt
 
@@ -366,7 +379,12 @@ def inference(
     num_batches = -(-n_total // batch_size)
     ts = time.time()
 
-    fast_path = X_test_list is None and not do_stop_criterion and not verbose
+    fast_path = (
+        (X_test_list is None or chunked_test_trace)
+        and not do_stop_criterion
+        and not verbose
+    )
+    rmse_trace: List[tuple] = []
     if fast_path:
         run_epochs = make_scan_epochs(
             optimizer, float(n_total), jitter, num_batches, batch_size, mesh=mesh,
@@ -397,6 +415,11 @@ def inference(
             loss_list.extend(np.asarray(losses).tolist())
             time_list.extend([time.time() - ts] * int(losses.shape[0]))
             epoch += chunk
+            if chunked_test_trace and X_test_list is not None:
+                est = np.asarray(predict_fn(params, Z, xt, it))
+                rmse = float(np.sqrt(np.mean((est - yt) ** 2)))
+                rmse_trace.append((time.time() - ts, epoch, rmse))
+                rmse_test_list.append(rmse)
 
         def _probe():
             nonlocal key, next_probe
@@ -458,6 +481,7 @@ def inference(
             time_list=time_list,
             elbo_trace=elbo_trace,
             rmse_test_list=rmse_test_list,
+            rmse_trace=rmse_trace,
         )
 
     for epoch in range(itnum):
@@ -512,4 +536,5 @@ def inference(
         time_list=time_list,
         elbo_trace=elbo_trace,
         rmse_test_list=rmse_test_list,
+        rmse_trace=rmse_trace,
     )

@@ -232,6 +232,13 @@ def _sample_latents(
     fast KL (ops/linalg.kl_gaussian_white).  "ref_compat": raw tril
     factors with the reference's Σ + jI full-cov sampling jitter
     (utils.py:40-64), for trajectory-exact reproduction.
+
+    Caveat: the ±30 clamp on the log-lengthscale draws below (f32 overflow
+    guard) applies in BOTH modes, and the reference has no clamp — so a
+    ref_compat trajectory that ever exceeds |log ell| = 30 (i.e. one that
+    is already diverging in f64 terms) stops being bit-exact there: the
+    clip zeroes the gradient instead of overflowing.  Healthy trajectories
+    never reach the clamp.
     """
     D = params.num_outputs
     dtype = x.dtype

@@ -22,6 +22,13 @@ import numpy as np
 
 __all__ = ["save_train_state", "load_train_state", "save_pytree", "load_pytree"]
 
+# Wall-clock of the most recent save/load in this process.  At ECoG M=200
+# the train state is ~1 GB (params + Adam moments dominated by the
+# (G, M, M) sqrt_U table) and every leaf must be fetched through the axon
+# tunnel before pickling, so checkpoint IO can rival training time itself;
+# drivers surface these numbers in their artifacts (run_workload.py).
+LAST_IO_SECONDS = {"save": None, "load": None}
+
 
 def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
@@ -45,6 +52,16 @@ def save_train_state(
     path: str, params, opt_state, epoch: int = 0, loss: float = 0.0,
     backend: str = "pickle",
 ):
+    import time as _time
+
+    _t0 = _time.time()
+    try:
+        return _save_train_state(path, params, opt_state, epoch, loss, backend)
+    finally:
+        LAST_IO_SECONDS["save"] = _time.time() - _t0
+
+
+def _save_train_state(path, params, opt_state, epoch, loss, backend):
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
@@ -73,6 +90,16 @@ def save_train_state(
 def load_train_state(
     path: str, params_like, opt_state_like, backend: str = "pickle"
 ) -> Tuple[Any, Any]:
+    import time as _time
+
+    _t0 = _time.time()
+    try:
+        return _load_train_state(path, params_like, opt_state_like, backend)
+    finally:
+        LAST_IO_SECONDS["load"] = _time.time() - _t0
+
+
+def _load_train_state(path, params_like, opt_state_like, backend):
     if backend == "orbax":
         import orbax.checkpoint as ocp
 
@@ -123,6 +150,7 @@ def _migrate_layout(tree, like):
             return leaf
         if (
             leaf.ndim == len(rs) + 1
+            and leaf.ndim >= 2
             and leaf.shape[0] == leaf.shape[1]
             and leaf.shape[0] * (leaf.shape[0] + 1) // 2 == rs[0]
             and leaf.shape[2:] == rs[1:]

@@ -150,6 +150,15 @@ def main():
         predictive_summary,
     )
 
+    if args.kl_mode == "ref_compat" and args.grad_clip:
+        # the reference has no gradient clipping: a ref_compat run meant as
+        # trajectory-exact reproduction should disable it (--grad-clip 0)
+        print(
+            "# WARNING: --kl-mode ref_compat with grad clip "
+            f"{args.grad_clip} — the reference clips nothing; pass "
+            "--grad-clip 0 for trajectory-exact reproduction"
+        )
+
     t0 = time.time()
     res = inference(
         X_list,
@@ -182,10 +191,22 @@ def main():
         M=M,
         batch_size=batch_size,
         itnum=itnum,
+        grad_clip=float(args.grad_clip),
+        lr_decay=args.lr_decay,
         final_loss=float(res.loss_list[-1]),
         steps_per_s=steps / train_s,
         train_s=train_s,
     )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.checkpoint import (
+        LAST_IO_SECONDS,
+    )
+
+    if args.checkpoint:
+        # checkpoint IO through the axon tunnel is O(state size) and at
+        # M=200 rivals training time (the round-4 4.3 vs 21 steps/s gap);
+        # surface it so steps_per_s artifacts are interpretable
+        out["ckpt_load_s"] = LAST_IO_SECONDS["load"]
+        out["ckpt_save_s"] = LAST_IO_SECONDS["save"]
     # divergence diagnostics: where (if anywhere) the loss left its basin
     la = np.asarray(res.loss_list, dtype=np.float64)
     if np.all(~np.isfinite(la)):  # all-NaN run must still produce the artifact
@@ -198,8 +219,11 @@ def main():
         out["loss_argmin"] = int(np.nanargmin(la))
         bad = np.where(~np.isfinite(la))[0]
         out["first_nonfinite_step"] = int(bad[0]) if bad.size else -1
-        blow = np.where(la > 10.0 * abs(float(np.nanmin(la))))[0]
-        out["first_blowup_step"] = int(blow[0]) if blow.size else -1
+        # a blowup is an exit from the loss basin, so only look AFTER the
+        # minimum — the initial loss legitimately starts far above it
+        argmin = int(np.nanargmin(la))
+        blow = np.where(la[argmin:] > 10.0 * abs(float(np.nanmin(la))))[0]
+        out["first_blowup_step"] = int(argmin + blow[0]) if blow.size else -1
 
     has_test = any(len(np.ravel(v)) for v in Xt_list)
     if has_test:
