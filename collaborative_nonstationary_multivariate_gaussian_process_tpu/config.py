@@ -37,6 +37,20 @@ PRECISION = 1e-6
 # from a timed 1-epoch dispatch.  Override via CNMGP_DISPATCH_BUDGET_S.
 DISPATCH_BUDGET_S = float(os.environ.get("CNMGP_DISPATCH_BUDGET_S", "30.0"))
 
+# Sampler-side companion to DISPATCH_BUDGET_S, in worst-case leapfrog
+# gradient evaluations per dispatch.  Measured crash boundary on the remote
+# worker (docs/DESIGN.md §13): 64-chain NUTS x 25 iters x 2^8 max tree
+# (~410k) ran clean; 256 x 25 x 2^8 (~1.6M) crashed the worker and wedged
+# the grant for hours.  400k keeps headroom under the clean point.  The
+# segmented sampler drivers (infer.nuts.run_nuts_multichain,
+# infer.chees.*, parallel.sharded_mcmc.run_chees_sharded) size their
+# per-dispatch iteration chunks from this automatically; chunking is
+# bit-invisible to the math, so the cap only adds ~24 ms dispatch overhead
+# per extra segment.  Override via CNMGP_SAMPLER_LEAPFROG_BUDGET.
+SAMPLER_LEAPFROG_BUDGET = int(
+    os.environ.get("CNMGP_SAMPLER_LEAPFROG_BUDGET", "400000")
+)
+
 # Run the large G-batched coefficient-process contractions (the ECoG-scale
 # hot spot: (G, M, M) whitening matmuls + the (G, B, M) variance quadform,
 # G = D(D+1)/2) as single-pass bf16 MXU matmuls with f32 accumulation.

@@ -65,6 +65,41 @@ __all__ = [
 DEFAULT_ITERS_PER_DISPATCH = 128
 
 
+def leapfrog_budget_chunk(num_chains, eps, log_T, max_num_steps, requested):
+    """Iterations-per-dispatch cap honoring config.SAMPLER_LEAPFROG_BUDGET.
+
+    ChEES trajectories are adapted, so the per-iteration leapfrog count is
+    not known statically like NUTS' 2^max_depth; instead the CURRENT
+    estimate (ceil(exp(log_T)/eps), clipped to max_num_steps) is used with
+    2x headroom for mid-segment growth, re-evaluated before every dispatch
+    (two replicated scalars fetched per segment — ~24 ms each, amortized).
+    The result is quantized to a power of two so at most log2(requested)
+    distinct segment shapes ever compile."""
+    from ..config import SAMPLER_LEAPFROG_BUDGET
+
+    steps = min(max(int(np.ceil(np.exp(log_T) / max(eps, 1e-30))), 1), int(max_num_steps))
+    cap = max(int(SAMPLER_LEAPFROG_BUDGET) // max(2 * num_chains * steps, 1), 1)
+    cap = 1 << max(cap.bit_length() - 1, 0)  # round down to a power of two
+    if requested is None or requested <= 0:
+        return cap
+    return max(min(int(requested), cap), 1)
+
+
+def _budget_chunk_fn(num_chains, max_num_steps, requested):
+    """chunk_fn(carry) for `_run_segments`: adaptive leapfrog-budget cap."""
+
+    def chunk_fn(carry):
+        return leapfrog_budget_chunk(
+            num_chains,
+            float(np.exp(np.asarray(carry.da.log_eps))),
+            float(np.asarray(carry.log_T)),
+            max_num_steps,
+            requested,
+        )
+
+    return chunk_fn
+
+
 def halton_sequence(n: int, offset: int = 0) -> np.ndarray:
     """Points offset..offset+n of the base-2 Halton (van der Corput) sequence
     in (0, 1): bit-reversed binary fractions — the standard quasi-random
@@ -282,16 +317,23 @@ def _in_trace(*trees) -> bool:
 
 def _run_segments(segment_fn, carry, inputs, chunk, collect=False):
     """Drive `segment_fn(carry, inputs_slice) -> (carry, outs)` over
-    host-sliced chunks of the per-iteration inputs.  One compile for the
-    full-size chunk (+ one for a ragged tail).  With collect=True the
+    host-sliced chunks of the per-iteration inputs.  One compile per
+    distinct chunk size (+ ragged tail).  With collect=True the
     per-iteration outputs are pulled to host numpy after each dispatch and
-    concatenated — the device never holds more than one chunk of draws."""
+    concatenated — the device never holds more than one chunk of draws.
+
+    `chunk` may be an int/None (fixed size) or a callable
+    `chunk_fn(carry) -> int` evaluated before every dispatch — used for
+    the adaptive leapfrog-budget sizing (`leapfrog_budget_chunk`)."""
     n = int(np.shape(inputs[0])[0])
-    chunk = n if (chunk is None or chunk <= 0) else min(int(chunk), n)
     outs_np = []
-    for start in range(0, n, chunk):
-        sl = tuple(a[start : start + chunk] for a in inputs)
+    start = 0
+    while start < n:
+        c = chunk(carry) if callable(chunk) else chunk
+        c = (n - start) if (c is None or c <= 0) else min(int(c), n - start)
+        sl = tuple(a[start : start + c] for a in inputs)
         carry, outs = segment_fn(carry, sl)
+        start += c
         if collect:
             outs_np.append(jax.tree_util.tree_map(np.asarray, outs))
     if not collect:
@@ -397,6 +439,9 @@ def chees_warmup(
     half = num_warmup // 2
     in_w = jnp.arange(num_warmup) >= half
     keys = jax.random.split(k_warm, num_warmup)
+    chunk_fn = _budget_chunk_fn(
+        init_positions.shape[0], max_num_steps, max_iters_per_dispatch
+    )
     if traced:
         carry, warm_aps = segment(carry, (halton[:num_warmup], keys, in_w))
     else:
@@ -404,7 +449,7 @@ def chees_warmup(
             segment,
             carry,
             (halton[:num_warmup], keys, in_w),
-            max_iters_per_dispatch,
+            chunk_fn,
             collect=True,
         )
 
@@ -417,7 +462,7 @@ def chees_warmup(
     if traced:
         carry, _ = segment(carry, phase2_in)
     else:
-        carry, _ = _run_segments(segment, carry, phase2_in, max_iters_per_dispatch)
+        carry, _ = _run_segments(segment, carry, phase2_in, chunk_fn)
     tuning = CheesTuning(
         step_size=jnp.exp(carry.da.log_eps_bar),
         log_traj_length=carry.log_T,
@@ -483,7 +528,13 @@ def chees_sample(
     else:
         segment = jax.jit(segment)
         carry, (positions, aps, lps, nsteps) = _run_segments(
-            segment, carry, inputs, max_iters_per_dispatch, collect=True
+            segment,
+            carry,
+            inputs,
+            _budget_chunk_fn(
+                state.position.shape[0], max_num_steps, max_iters_per_dispatch
+            ),
+            collect=True,
         )
     info = {"accept_prob": aps, "log_prob": lps, "num_steps": nsteps}
     return carry.state, positions, info

@@ -24,7 +24,7 @@ Algorithm summary:
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -490,7 +490,7 @@ def run_nuts_multichain(
     init_step_size: float = 0.1,
     mass_adapt: bool = True,
     dense_mass: bool = False,
-    segment_iters: int = 64,
+    segment_iters: Optional[int] = None,
     progress: bool = False,
 ):
     """Vmapped multi-chain NUTS with host-chunked dispatch segments.
@@ -504,12 +504,22 @@ def run_nuts_multichain(
     iterations, compiled once each.  The RNG schedule is precomputed per
     phase, so results are bit-identical for any `segment_iters`.
 
+    `segment_iters=None` (default) sizes segments automatically from
+    `config.SAMPLER_LEAPFROG_BUDGET`: the per-dispatch worst case is
+    chains x iters x 2^max_depth leapfrogs, and exceeding ~1.6M of them
+    crashed the remote worker in round 4 (docs/DESIGN.md §13).  An explicit
+    `segment_iters` is honored but still CAPPED at the budget — chunking
+    cannot change the draws, so the cap is always safe.
+
     inits: (C, dim).  Returns (positions (C, S, dim), info dict) with
     per-chain step sizes and mass matrices.
     """
+    from ..config import SAMPLER_LEAPFROG_BUDGET
+
     C, dim = inits.shape
     dtype = inits.dtype
-    seg = max(int(segment_iters), 1)
+    seg_cap = max(int(SAMPLER_LEAPFROG_BUDGET) // max(C << max_depth, 1), 1)
+    seg = seg_cap if segment_iters is None else min(max(int(segment_iters), 1), seg_cap)
 
     k_find, k_warm, k_re, k_main = jax.random.split(key, 4)
     inv0 = jnp.ones((dim,), dtype)
@@ -665,5 +675,6 @@ def run_nuts_multichain(
         "warmup_accept_mean": float(
             jnp.sum(jnp.stack(warm_ap_sums)) / total_warm
         ),
+        "segment_iters": seg,
     }
     return positions, info

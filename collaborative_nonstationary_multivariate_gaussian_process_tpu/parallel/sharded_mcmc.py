@@ -207,13 +207,23 @@ def run_chees_sharded(
     seg_adapt = make_segment(True)
     seg_fixed = make_segment(False)
 
+    # iterations per dispatch respect config.SAMPLER_LEAPFROG_BUDGET via
+    # the adaptive trajectory-length estimate (infer.chees); num_chains is
+    # the GLOBAL count — conservative on a real pod where each worker only
+    # executes its chain shard
+    chunk_fn = chees_mod._budget_chunk_fn(
+        num_chains, max_num_steps, max_iters_per_dispatch
+    )
+
     def drive(seg, carry, inputs, collect=False):
         n = int(np.shape(inputs[0])[0])
-        chunk = min(max_iters_per_dispatch, n)
         outs_np = []
-        for start in range(0, n, chunk):
+        start = 0
+        while start < n:
+            chunk = min(chunk_fn(carry), n - start)
             sl = tuple(a[start : start + chunk] for a in inputs)
             carry, outs = seg(carry, *sl)
+            start += chunk
             if collect:
                 outs_np.append(jax.tree_util.tree_map(np.asarray, outs))
         if not collect:

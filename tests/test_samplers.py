@@ -387,3 +387,48 @@ def test_run_smc_staged_matches_while_loop():
     import numpy as np
 
     np.testing.assert_array_equal(np.asarray(pos1), np.asarray(pos2))
+
+
+def test_sampler_dispatch_budget_sizing():
+    """The ~500k-leapfrogs-per-dispatch crash boundary (docs/DESIGN.md §13)
+    is enforced in code: NUTS multichain caps segment_iters at
+    budget // (chains * 2^max_depth), and the ChEES chunk sizing adapts to
+    the current trajectory-length estimate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.chees import (
+        leapfrog_budget_chunk,
+    )
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.nuts import (
+        run_nuts_multichain,
+    )
+
+    # ChEES: ~32-step trajectories at 2048 chains -> 400000/(2*2048*32)=3,
+    # floored to the power of two 2; an explicit request is capped, never
+    # raised
+    assert leapfrog_budget_chunk(2048, 0.1, np.log(3.2), 1024, 128) == 2
+    assert leapfrog_budget_chunk(2048, 0.1, np.log(3.2), 1024, None) == 2
+    # short trajectories at few chains: the request passes through
+    assert leapfrog_budget_chunk(4, 0.1, np.log(0.1), 1024, 128) == 128
+    # never below one iteration per dispatch
+    assert leapfrog_budget_chunk(10**9, 1e-6, np.log(10.0), 1024, 128) == 1
+
+    # NUTS: an oversized explicit segment_iters is capped to the same
+    # result as the automatic sizing (and the cap is reported)
+    def lp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    inits = jnp.asarray(np.random.default_rng(1).standard_normal((64, 2)))
+    # 64 chains * 2^10 = 65536 -> cap = 400000 // 65536 = 6
+    _, info_auto = run_nuts_multichain(
+        lp, inits, jax.random.PRNGKey(0), num_warmup=12, num_samples=12,
+        max_depth=10,
+    )
+    _, info_req = run_nuts_multichain(
+        lp, inits, jax.random.PRNGKey(0), num_warmup=12, num_samples=12,
+        max_depth=10, segment_iters=10_000,
+    )
+    assert info_auto["segment_iters"] == 6
+    assert info_req["segment_iters"] == 6
