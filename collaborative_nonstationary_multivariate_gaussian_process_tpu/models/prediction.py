@@ -58,6 +58,8 @@ __all__ = [
     "snmgp_hadamard_indexedpoint_predmap",
     "svc_hadamard_indexedpoint_predmap",
     "lmc_hadamard_indexedpoint_predmap",
+    "svc_hadamard_indexedpoint_predsample",
+    "lmc_hadamard_indexedpoint_predsample",
 ]
 
 
@@ -1159,3 +1161,27 @@ def lmc_hadamard_indexedpoint_predmap(
     Returns (3, n_grid)."""
     out = lmc_hadamard_predmap(map_draw, x, indx, y, num_tasks, x_stars)
     return _gather_task_map(out, indx_stars)
+
+
+def svc_hadamard_indexedpoint_predsample(
+    hists, x, indx, y, num_tasks, x_stars, indx_stars, **kw
+):
+    """Per-(x*, task*) SVC hadamard posterior-sample draws.  The reference
+    only ships the predmap form of this variant
+    (`indexedpoint_predmap_SVC_hadamard`, prediction.py:1446-1514) — its
+    predsample counterpart exists solely for SNMGP (:585) — but the
+    column-gather construction extends uniformly, completing the
+    {SNMGP, SVC, LMC} x {predsample, predmap} indexedpoint grid.
+    Returns (n_grid, S)."""
+    out = svc_hadamard_predsample(hists, x, indx, y, num_tasks, x_stars, **kw)
+    return _gather_task_sample(out, indx_stars)
+
+
+def lmc_hadamard_indexedpoint_predsample(
+    hists, x, indx, y, num_tasks, x_stars, indx_stars, **kw
+):
+    """Per-(x*, task*) stationary-LMC hadamard posterior-sample draws (no
+    reference counterpart — see `svc_hadamard_indexedpoint_predsample`).
+    Returns (n_grid, S)."""
+    out = lmc_hadamard_predsample(hists, x, indx, y, num_tasks, x_stars, **kw)
+    return _gather_task_sample(out, indx_stars)

@@ -23,6 +23,8 @@ __all__ = [
     "etl_pm25",
     "etl_hcp",
     "etl_ecog",
+    "ecog_pred_split",
+    "load_workload_data",
     "synthetic_pm25",
     "synthetic_hcp",
     "synthetic_ecog",
@@ -139,6 +141,62 @@ def etl_ecog(
         X_list.append(np.arange(N, dtype=float))
         Y_list.append(_standardize(window[:, c]))
     return X_list, Y_list
+
+
+def ecog_pred_split(X_list, Y_list, seed: int = 22):
+    """The ECoG prediction protocol's split: hold out a random 20% of the
+    LAST channel; all other channels stay fully in train
+    (reference NMGP_ECoG_pred.py:24-51 `create_datasets`).
+
+    Returns (X_train_list, Y_train_list, Xt_list, Yt_list) where the test
+    lists are empty for every channel but the last."""
+    rng = np.random.RandomState(seed)
+    x_last = np.asarray(X_list[-1])
+    y_last = np.asarray(Y_list[-1])
+    te = np.sort(rng.choice(len(x_last), len(x_last) // 5, replace=False))
+    tr = np.setdiff1d(np.arange(len(x_last)), te)
+    Xt_list = [np.empty(0)] * (len(X_list) - 1) + [x_last[te]]
+    Yt_list = [np.empty(0)] * (len(Y_list) - 1) + [y_last[te]]
+    return (
+        list(X_list[:-1]) + [x_last[tr]],
+        list(Y_list[:-1]) + [y_last[tr]],
+        Xt_list,
+        Yt_list,
+    )
+
+
+def load_workload_data(workload: str, path: str, full: bool = False):
+    """Route a user-supplied data file to the matching raw-format loader.
+
+    Accepted formats per workload (the notebooks' own inputs):
+      pm25: the Beijing CSV (`BeijingPM20100101_20151231.csv`,
+            notebook/PM25.ipynb cell 1) — `full=False` restricts to the
+            first 5000 rows (the "sub" dataset, cell 3);
+      hcp:  the `990366_15.txt` whitespace table (HCP.ipynb cell 1);
+      ecog: either the raw Hilbert high-gamma pickle
+            (`R32_B{7,8}_Hilb_54bands_ECoG_high_gamma.pickle`,
+            `(times, band_resps[, time_trials])` — NMGP_ECoG_pred.py:104-111),
+            windowed+split per the prediction protocol, or a pre-split
+            `[X, Y, Xt, Yt]` pickle.
+    Any workload also accepts a pre-split 4-list pickle.
+    Returns (X_list, Y_list, Xt_list, Yt_list)."""
+    low = path.lower()
+    if low.endswith(".csv"):
+        return etl_pm25(path, sub_rows=None if full else 5000)
+    if low.endswith(".txt"):
+        return etl_hcp(path)
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    if isinstance(blob, (list, tuple)) and len(blob) == 4 and isinstance(blob[0], list):
+        return tuple(blob)  # pre-split [X_list, Y_list, Xt_list, Yt_list]
+    if workload == "ecog":
+        X_list, Y_list = etl_ecog(path)
+        return ecog_pred_split(X_list, Y_list)
+    raise ValueError(
+        f"unrecognized data file for workload {workload!r}: {path} — expected "
+        "a raw notebook input (.csv/.txt/Hilbert pickle) or a pre-split "
+        "[X, Y, Xt, Yt] pickle"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -87,13 +87,8 @@ def main():
 
     # NMGP_ECoG_pred protocol: hold out 20% of the last channel
     X_list, Y_list = etl.synthetic_ecog()
-    rng = np.random.RandomState(22)
-    x_last, y_last = X_list[-1], Y_list[-1]
-    te = np.sort(rng.choice(len(x_last), len(x_last) // 5, replace=False))
-    tr = np.setdiff1d(np.arange(len(x_last)), te)
-    Xt, Yt = x_last[te], y_last[te]
-    X_list = X_list[:-1] + [x_last[tr]]
-    Y_list = Y_list[:-1] + [y_last[tr]]
+    X_list, Y_list, Xt_list, Yt_list = etl.ecog_pred_split(X_list, Y_list)
+    Xt, Yt = Xt_list[-1], Yt_list[-1]
     D = len(X_list)
     t_max = float(max(np.max(np.ravel(v)) for v in X_list))
     n_train = sum(len(np.ravel(v)) for v in X_list)

@@ -54,26 +54,17 @@ def load_data(name, data_path, full=False):
     from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils import etl
 
     if data_path:
-        with open(data_path, "rb") as f:
-            X_list, Y_list, Xt_list, Yt_list = pickle.load(f)
-        return X_list, Y_list, Xt_list, Yt_list, "real"
+        # raw notebook inputs (Beijing CSV / HCP txt / Hilbert pickle) or a
+        # pre-split [X, Y, Xt, Yt] pickle — etl.load_workload_data sniffs
+        return (*etl.load_workload_data(name, data_path, full=full), "real")
     if name == "pm25":
         return (*etl.synthetic_pm25(full=full), "synthetic-full" if full else "synthetic")
     if name == "hcp":
         return (*etl.synthetic_hcp(), "synthetic")
     if name == "ecog":
-        X_list, Y_list = etl.synthetic_ecog()
         # held-out 20% of the last channel (NMGP_ECoG_pred.py:24-51 protocol)
-        rng = np.random.RandomState(22)
-        xt, yt = [], []
-        x_last, y_last = X_list[-1], Y_list[-1]
-        te = np.sort(rng.choice(len(x_last), len(x_last) // 5, replace=False))
-        tr = np.setdiff1d(np.arange(len(x_last)), te)
-        Xt_list = [np.empty(0)] * (len(X_list) - 1) + [x_last[te]]
-        Yt_list = [np.empty(0)] * (len(Y_list) - 1) + [y_last[te]]
-        X_list = X_list[:-1] + [x_last[tr]]
-        Y_list = Y_list[:-1] + [y_last[tr]]
-        return X_list, Y_list, Xt_list, Yt_list, "synthetic"
+        X_list, Y_list = etl.synthetic_ecog()
+        return (*etl.ecog_pred_split(X_list, Y_list), "synthetic")
     raise ValueError(name)
 
 

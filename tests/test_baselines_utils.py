@@ -196,3 +196,43 @@ def test_sparse_baselines_learn_signal():
     err2 = np.sqrt(np.mean((np.concatenate(mu2) - np.concatenate(Yt)) ** 2))
     assert err2 < 0.35, err2
     assert all(np.all(np.isfinite(s)) and np.all(s > 0) for s in sd + sd2)
+
+
+def test_empirical_save_load_plot_roundtrip(tmp_path):
+    """save_estimates writes the reference's empirical_est.pickle layout
+    ([log ls, log smooth_ls, L_vecs_flat, ts2e] — save_res,
+    empirical_estimation.py:185-190), load_estimates inverts it, and
+    plot_estimates writes the four diagnostic figures (visualization,
+    :136-182)."""
+    import numpy as np
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.empirical import (
+        load_estimates,
+        local_estimation,
+        plot_estimates,
+        save_estimates,
+    )
+
+    rng = np.random.default_rng(0)
+    N, M = 60, 2
+    x = np.linspace(0.0, 1.0, N)
+    Y = np.stack(
+        [np.sin(6 * x) + 0.1 * rng.standard_normal(N),
+         np.cos(6 * x) + 0.1 * rng.standard_normal(N)],
+        axis=1,
+    )
+    est = local_estimation(x, Y, window_size=10)
+
+    p = save_estimates(str(tmp_path / "empirical_est.pickle"), est)
+    tilde_ls, smooth_tilde_ls, L_vecs, ts2e = load_estimates(p)
+    assert tilde_ls.shape == (N,)
+    np.testing.assert_allclose(tilde_ls, np.log(est["ls"]))
+    assert L_vecs.shape == (N * (M * (M + 1) // 2),)
+    np.testing.assert_allclose(L_vecs, est["L_vecs"].ravel())
+    assert ts2e == -4.0
+    assert np.all(np.isfinite(smooth_tilde_ls))
+
+    paths = plot_estimates(x, Y, est, str(tmp_path))
+    import os
+
+    assert len(paths) == 4 and all(os.path.getsize(q) > 0 for q in paths)

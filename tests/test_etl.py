@@ -188,3 +188,90 @@ def test_ecog_channel_selection_order(ecog_pickle):
     np.testing.assert_allclose(Y[0], (w3 - w3.mean()) / w3.std(), rtol=1e-9)
     w1 = band[5600:6400, 1]
     np.testing.assert_allclose(Y[1], (w1 - w1.mean()) / w1.std(), rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Raw-file -> workload-driver bridge (load_workload_data)
+# ---------------------------------------------------------------------------
+
+
+def test_load_workload_data_routes_raw_csv(pm25_csv):
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.etl import (
+        load_workload_data,
+    )
+
+    X, Y, Xt, Yt = load_workload_data("pm25", str(pm25_csv), full=False)
+    assert sum(x.shape[0] for x in X) == 28768  # sub oracle
+    X2, _, _, _ = load_workload_data("pm25", str(pm25_csv), full=True)
+    assert sum(x.shape[0] for x in X2) == 302537  # full oracle
+
+
+def test_load_workload_data_routes_raw_txt(hcp_txt):
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.etl import (
+        load_workload_data,
+    )
+
+    X, Y, Xt, Yt = load_workload_data("hcp", str(hcp_txt))
+    assert sum(x.shape[0] for x in X) == 71040 and Xt[0].shape[0] == 960
+
+
+def test_load_workload_data_routes_raw_ecog_blob(ecog_pickle):
+    """A raw Hilbert blob goes through etl_ecog + the prediction split;
+    a 3-element (times, band_resps, time_trials) R32_B7-style blob
+    (NMGP_ECoG_pred.py:104-107) parses the same."""
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.etl import (
+        ecog_pred_split,
+        etl_ecog,
+        load_workload_data,
+    )
+
+    path, band = ecog_pickle
+    X, Y, Xt, Yt = load_workload_data("ecog", str(path))
+    D = len(X)
+    # last channel split 20%; all other channels full 800-step windows
+    assert Xt[-1].shape[0] == 800 // 5 and X[-1].shape[0] == 800 - 800 // 5
+    assert all(x.shape[0] == 0 for x in Xt[:-1])
+    # equals the two-step composition
+    X0, Y0 = etl_ecog(str(path))
+    Xr, Yr, Xtr, Ytr = ecog_pred_split(X0, Y0)
+    np.testing.assert_array_equal(X[-1], Xr[-1])
+    np.testing.assert_allclose(Y[-1], Yr[-1])
+
+    # R32_B7 layout: extra time_trials element must not confuse the router
+    blob3 = path.parent / "r32b7.pickle"
+    times = np.arange(band.shape[0]) / 400.0
+    with open(blob3, "wb") as f:
+        pickle.dump([times, band, np.array([[14.0, 16.0]])], f)
+    X3, Y3, _, _ = load_workload_data("ecog", str(blob3))
+    np.testing.assert_allclose(Y3[-1], Y[-1])
+
+
+def test_load_workload_data_presplit_pickle(tmp_path):
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.etl import (
+        load_workload_data,
+    )
+
+    X_list = [np.arange(5.0), np.arange(4.0)]
+    Y_list = [np.ones(5), np.zeros(4)]
+    Xt_list = [np.arange(2.0), np.empty(0)]
+    Yt_list = [np.ones(2), np.empty(0)]
+    p = tmp_path / "presplit.pickle"
+    with open(p, "wb") as f:
+        pickle.dump([X_list, Y_list, Xt_list, Yt_list], f)
+    X, Y, Xt, Yt = load_workload_data("hcp", str(p))
+    np.testing.assert_array_equal(X[0], X_list[0])
+    np.testing.assert_array_equal(Yt[0], Yt_list[0])
+
+
+def test_load_workload_data_rejects_garbage(tmp_path):
+    import pytest as _pytest
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils.etl import (
+        load_workload_data,
+    )
+
+    p = tmp_path / "junk.pickle"
+    with open(p, "wb") as f:
+        pickle.dump({"not": "a dataset"}, f)
+    with _pytest.raises(ValueError, match="unrecognized data file"):
+        load_workload_data("pm25", str(p))
