@@ -26,10 +26,13 @@ def main():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 G-batched matmuls w/ f32 accumulate "
                         "(config.BF16_BATCH_MATMULS)")
-    p.add_argument("--optimizer", default="adam", choices=["adam", "adafactor"],
-                   help="adafactor: factored second moment — the (G, M, M) "
-                        "parameter tables make Adam's optimizer-state HBM "
-                        "traffic ~38%% of the step at D=78")
+    p.add_argument("--optimizer", default="adam",
+                   choices=["adam", "adafactor", "adam_bf16"],
+                   help="adafactor: factored second moment; adam_bf16: both "
+                        "Adam moments stored bf16, f32 compute — the "
+                        "(G, M, M) parameter tables make Adam's "
+                        "optimizer-state HBM traffic ~38%% of the step at "
+                        "D=78 (docs/DESIGN.md §14)")
     a = p.parse_args()
 
     import jax, jax.numpy as jnp, optax
@@ -49,6 +52,12 @@ def main():
     params = cnmgp.init_params(jax.random.PRNGKey(0), D, a.M, dtype=jnp.float32)
     if a.optimizer == "adafactor":
         opt = optax.adafactor(learning_rate=0.005)
+    elif a.optimizer == "adam_bf16":
+        from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.optimizers import (
+            adam_bf16_moments,
+        )
+
+        opt = adam_bf16_moments(0.005)
     else:
         opt = optax.adam(0.005)
     st = opt.init(params)
@@ -69,7 +78,8 @@ def main():
     rate = float(np.median(rates))
     out = dict(workload="ecog_synthetic", D=D, N=N, M=a.M, B=a.B,
                bf16=bool(a.bf16), optimizer=a.optimizer,
-               steps=steps, steps_per_s=rate, step_ms=1000 / rate)
+               steps=steps, steps_per_s=rate, step_ms=1000 / rate,
+               final_loss=float(r[2][-1]))
 
     # FLOPs/MFU: cost-analyze ONE train step (XLA counts loop bodies once,
     # so the epoch scan can't be analyzed) x measured steps/s vs chip peak.

@@ -301,3 +301,44 @@ def test_grad_clip_option_wires_through():
     # initial gradients are far above norm 1, so the clipped trajectory
     # must actually differ
     assert not np.allclose(a, b)
+
+
+def test_adam_bf16_moments_tracks_f32_adam():
+    """adam_bf16_moments (bf16 moment STORAGE, f32 compute) must follow
+    optax.adam closely on a quadratic — the storage rounding adds noise far
+    below the stochastic-ELBO gradient noise it is deployed under
+    (infer/optimizers.py; the ECoG Adam-HBM lever of docs/DESIGN.md §14)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.infer.optimizers import (
+        adam_bf16_moments,
+    )
+
+    def loss(p):
+        return jnp.sum((p["a"] - 1.5) ** 2) + jnp.sum((p["b"] + 0.5) ** 2)
+
+    p0 = {"a": jnp.zeros(16, jnp.float32), "b": jnp.ones(8, jnp.float32)}
+
+    def run(opt):
+        p = p0
+        st = opt.init(p)
+        for _ in range(60):
+            g = jax.grad(loss)(p)
+            up, st = opt.update(g, st, p)
+            p = optax.apply_updates(p, up)
+        return p
+
+    p_ref = run(optax.adam(0.05))
+    p_bf = run(adam_bf16_moments(0.05))
+    for k in p0:
+        np.testing.assert_allclose(
+            np.asarray(p_bf[k]), np.asarray(p_ref[k]), atol=5e-2
+        )
+    # moments really are stored in bf16
+    opt = adam_bf16_moments(0.05)
+    st = opt.init(p0)
+    assert st[0].mu["a"].dtype == jnp.bfloat16
+    assert st[0].nu["b"].dtype == jnp.bfloat16
