@@ -71,6 +71,11 @@ def main():
                         "the reference per-M study uses 2 "
                         "(NMGP_ECoG_pred.py:326,398,464); 5 is the "
                         "ECoG_full value that round 4 mistakenly used here")
+    p.add_argument("--grad-clip", type=float, default=1000.0,
+                   help="global-norm gradient clip, matching the real-data "
+                        "driver default (run_workload.py): the M=50 config "
+                        "exhibits the docs/DESIGN.md §15 late-training loss "
+                        "escape on some seeds without it (0 disables)")
     p.add_argument("--out", default="results/ecog_per_m_rmse.json")
     args = p.parse_args()
 
@@ -109,6 +114,7 @@ def main():
                 lr=0.005, itnum=args.itnum, hyperpars=hyperpars,
                 fix_hyperpars=True, mu_v=np.ones(M), seed=seed,
                 show_ELBO=False,
+                grad_clip_norm=args.grad_clip if args.grad_clip else None,
             )
             train_s = time.time() - t0
             ys, _, _, _ = sample_Y(
@@ -119,6 +125,7 @@ def main():
             row = dict(
                 M=M, D=D, N=n_train, itnum=args.itnum, seed=seed,
                 ls_tildeell_log=args.ls_tildeell_log,
+                grad_clip=float(args.grad_clip),
                 rmse_test=float(rmse), ci_length=float(ci),
                 coverage=float(np.mean(cov)),
                 steps_per_s=len(res.loss_list) / train_s,
