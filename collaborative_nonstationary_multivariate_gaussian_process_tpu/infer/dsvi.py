@@ -53,6 +53,9 @@ class DSVIResult:
     # fast-path test trace: (wall_seconds, epochs_done, rmse) at each
     # dispatch boundary (see `inference(chunked_test_trace=True)`)
     rmse_trace: List[tuple] = field(default_factory=list)
+    # number of divergence rollbacks taken (see
+    # `inference(divergence_rollback=True)`)
+    rollbacks: int = 0
 
 
 def apply_hyperpars(params: CNMGPParams, hyperpars: Optional[Dict[str, float]]):
@@ -224,6 +227,30 @@ def make_scan_epochs(
     return run
 
 
+def _scale_injected_lr(opt_state, factor):
+    """Multiply the `learning_rate` held in an `optax.inject_hyperparams`
+    state by `factor`, recursing through chain tuples.  Leaves every other
+    state untouched; no recompile (the hyperparam is a traced array)."""
+    if hasattr(opt_state, "hyperparams") and "learning_rate" in opt_state.hyperparams:
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = hp["learning_rate"] * factor
+        return opt_state._replace(hyperparams=hp)
+    if type(opt_state) is tuple:
+        return tuple(_scale_injected_lr(s, factor) for s in opt_state)
+    return opt_state
+
+
+def _read_injected_lr(opt_state):
+    if hasattr(opt_state, "hyperparams") and "learning_rate" in opt_state.hyperparams:
+        return float(opt_state.hyperparams["learning_rate"])
+    if type(opt_state) is tuple:
+        for s in opt_state:
+            v = _read_injected_lr(s)
+            if v is not None:
+                return v
+    return None
+
+
 def _make_batches(key, n, batch_size):
     """Shuffled padded batch index matrix (num_batches, batch_size) plus a
     0/1 weight matrix for the padded tail."""
@@ -273,6 +300,9 @@ def inference(
     grad_clip_norm: Optional[float] = None,
     lr_decay: Optional[float] = None,
     chunked_test_trace: bool = False,
+    divergence_rollback: bool = False,
+    rollback_lr_factor: float = 0.5,
+    max_rollbacks: int = 5,
 ) -> DSVIResult:
     """Train a CNMGP by DSVI.  Signature mirrors the reference `inference()`
     (nmgp_dsvi.py:758-761) so reference drivers port one-to-one.
@@ -299,7 +329,20 @@ def inference(
     the reference's per-step `do_test` trace (nmgp_dsvi.py:865-868), which
     would serialize a host round-trip into every step; RMSE-vs-wallclock
     curves (the train_trace_BS study, NMGP_PM25.py:244-263) only need
-    O(seconds) resolution."""
+    O(seconds) resolution.
+
+    `divergence_rollback`: automatic failure recovery on the fast path.
+    The dispatch-budget chunking already gives a natural checkpoint
+    cadence (~DISPATCH_BUDGET_S); with this flag each chunk keeps its
+    entry state, and if the chunk's losses go non-finite or escape the
+    loss basin (> 10x |best loss so far| after a basin was established —
+    the docs/DESIGN.md §15 late-training escape signature), the chunk is
+    rolled back and retried with the Adam learning rate scaled by
+    `rollback_lr_factor` (at most `max_rollbacks` times, then the run
+    proceeds unguarded).  Snapshots are references to immutable device
+    arrays — no copies, no host traffic.  Requires a constant float `lr`
+    (incompatible with `lr_decay`); the reference has no equivalent (its
+    runs simply blow up, NMGP_HCP 200-epoch repro)."""
     from ..utils.data import flatten_output_lists
     from ..utils import checkpoint as ckpt
 
@@ -335,6 +378,15 @@ def inference(
     )
     params = apply_hyperpars(params, hyperpars)
 
+    # `lr` may be a float OR any optax schedule (callable step -> rate):
+    # optax.adam consumes both, so warmup/cosine/piecewise schedules come
+    # for free; `lr_decay` remains the convenience knob for the drivers.
+    if divergence_rollback and (lr_decay is not None or callable(lr)):
+        raise ValueError(
+            "divergence_rollback scales a constant injected learning rate; "
+            "it cannot be combined with lr_decay or a schedule (a schedule "
+            "recomputes the rate from the step count every update)"
+        )
     if lr_decay is not None:
         num_batches_sched = -(-n_total // batch_size)
         lr = optax.exponential_decay(
@@ -342,10 +394,16 @@ def inference(
             transition_steps=num_batches_sched,
             decay_rate=float(lr_decay),
         )
-    optimizer = optax.adam(lr)
+    if divergence_rollback:
+        # the learning rate lives in the optimizer STATE so a rollback can
+        # halve it without rebuilding/recompiling anything
+        adam = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    else:
+        adam = optax.adam(lr)
+    optimizer = adam
     if grad_clip_norm is not None:
         optimizer = optax.chain(
-            optax.clip_by_global_norm(float(grad_clip_norm)), optax.adam(lr)
+            optax.clip_by_global_norm(float(grad_clip_norm)), adam
         )
     opt_state = optimizer.init(params)
 
@@ -421,6 +479,44 @@ def inference(
                 rmse_trace.append((time.time() - ts, epoch, rmse))
                 rmse_test_list.append(rmse)
 
+        rollback_count = 0
+        _run_raw = _run
+
+        def _run_guarded(chunk):
+            # divergence_rollback: retry a chunk whose losses go non-finite
+            # or escape the established loss basin, at a reduced lr.  The
+            # pre-chunk state is a tuple of references to immutable device
+            # arrays — snapshotting costs nothing.
+            nonlocal params, opt_state, epoch, rollback_count
+            while True:
+                snap = (params, opt_state, epoch, len(loss_list),
+                        len(time_list), len(rmse_trace), len(rmse_test_list))
+                _run_raw(chunk)
+                new = np.asarray(loss_list[snap[3]:], dtype=np.float64)
+                bad = not np.all(np.isfinite(new))
+                if not bad:
+                    prev = np.asarray(loss_list[: snap[3]], dtype=np.float64)
+                    prev = prev[np.isfinite(prev)]
+                    if prev.size:  # basin escape only once a basin exists
+                        bad = float(np.max(new)) > 10.0 * abs(float(np.min(prev)))
+                if not bad or rollback_count >= max_rollbacks:  # global cap
+                    return
+                params, opt_state, epoch = snap[0], snap[1], snap[2]
+                del loss_list[snap[3]:]
+                del time_list[snap[4]:]
+                del rmse_trace[snap[5]:]
+                del rmse_test_list[snap[6]:]
+                opt_state = _scale_injected_lr(opt_state, rollback_lr_factor)
+                rollback_count += 1
+                print(
+                    f"divergence rollback #{rollback_count}: retrying "
+                    f"{chunk} epoch(s) from epoch {epoch} at lr="
+                    f"{_read_injected_lr(opt_state):.3g}"
+                )
+
+        if divergence_rollback:
+            _run = _run_guarded  # noqa: F811 — guarded wrapper owns retries
+
         def _probe():
             nonlocal key, next_probe
             key, k_elbo = jax.random.split(key)
@@ -482,6 +578,7 @@ def inference(
             elbo_trace=elbo_trace,
             rmse_test_list=rmse_test_list,
             rmse_trace=rmse_trace,
+            rollbacks=rollback_count,
         )
 
     for epoch in range(itnum):

@@ -85,6 +85,12 @@ def main():
                         "drivers (0 disables).  Bounds the slow "
                         "destabilization observed on 200-epoch HCP runs "
                         "(docs/DESIGN.md §15); inactive on healthy steps")
+    p.add_argument("--auto-rollback", action="store_true",
+                   help="divergence rollback: on a non-finite or "
+                        "basin-escaping dispatch chunk, restore the "
+                        "pre-chunk state and retry at half the lr "
+                        "(inference(divergence_rollback=True); "
+                        "incompatible with --lr-decay)")
     p.add_argument("--n-sample", type=int, default=200)
     p.add_argument("--out", default=None)
     p.add_argument("--checkpoint", default=None)
@@ -170,6 +176,7 @@ def main():
         kl_mode=args.kl_mode,
         grad_clip_norm=args.grad_clip if args.grad_clip else None,
         lr_decay=args.lr_decay,
+        divergence_rollback=args.auto_rollback,
     )
     train_s = time.time() - t0
     steps = len(res.loss_list)
@@ -184,6 +191,7 @@ def main():
         itnum=itnum,
         grad_clip=float(args.grad_clip),
         lr_decay=args.lr_decay,
+        rollbacks=res.rollbacks,
         final_loss=float(res.loss_list[-1]),
         steps_per_s=steps / train_s,
         train_s=train_s,
