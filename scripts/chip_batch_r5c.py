@@ -1,0 +1,77 @@
+"""Round-5 chip batch C: the large-chain NUTS artifacts (VERDICT r4 #6).
+
+Runs after chip_batch_r5b.  The per-dispatch leapfrog budget is now
+enforced IN CODE (config.SAMPLER_LEAPFROG_BUDGET; run_nuts_multichain
+auto-sizes segments), so the 256-chain configuration that crashed the
+round-4 worker now dispatches 6-iteration segments
+(256 chains x 6 x 2^8 = 393k worst-case leapfrogs < 400k budget).
+
+  nuts_256  — the artifact that crashed in round 4, now under the budget
+  nuts_128  — rerun with 3x the warmup (round 4's R-hat 1.077 at
+              warmup=200 indicates under-adaptation; target <= 1.02)
+
+Usage: python scripts/chip_batch_r5c.py [--skip s ...] [--only s ...]
+"""
+
+import argparse
+import json
+import os
+
+from _chip_batch_util import make_stepper, run_script, setup_batch_env
+
+setup_batch_env()
+
+STEPS = {}
+
+
+def step_def(name):
+    def deco(fn):
+        STEPS[name] = fn
+        return fn
+
+    return deco
+
+
+@step_def("nuts_256")
+def _nuts_256():
+    run_script(
+        "scripts/run_mcmc_sim.py",
+        ["--N", "100", "--chains", "256", "--warmup", "200",
+         "--samples", "200", "--sampler", "nuts",
+         "--out", "results/nuts_256chain_tpu.json",
+         "--plots-dir", "results/figs_256"],
+    )
+
+
+@step_def("nuts_128")
+def _nuts_128():
+    run_script(
+        "scripts/run_mcmc_sim.py",
+        ["--N", "100", "--chains", "128", "--warmup", "600",
+         "--samples", "400", "--sampler", "nuts",
+         "--out", "results/nuts_128chain_tpu_r5.json"],
+    )
+
+
+ORDER = ["nuts_256", "nuts_128"]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--skip", nargs="*", default=[])
+    p.add_argument("--only", nargs="*", default=None)
+    args = p.parse_args()
+
+    os.makedirs("results/figs_256", exist_ok=True)
+    step, status = make_stepper("results/chip_batch_r5c_status.json")
+    for name in ORDER:
+        if args.only is not None and name not in args.only:
+            continue
+        if name in args.skip:
+            continue
+        step(name, STEPS[name])
+    print(json.dumps(status, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,8 +38,11 @@ def main():
     p.add_argument("--warmup", type=int, default=400)
     p.add_argument("--samples", type=int, default=400)
     p.add_argument("--max-depth", type=int, default=8)
-    p.add_argument("--segment-iters", type=int, default=50,
-                   help="multichain NUTS: iterations per jitted dispatch")
+    p.add_argument("--segment-iters", type=int, default=None,
+                   help="multichain NUTS: iterations per jitted dispatch "
+                        "(default: automatic from "
+                        "config.SAMPLER_LEAPFROG_BUDGET; explicit values "
+                        "are still capped at the budget)")
     p.add_argument("--sampler", choices=["nuts", "hmc", "chees"], default="nuts")
     p.add_argument("--dense-mass", action="store_true",
                    help="adapt a dense mass matrix during NUTS warmup")
