@@ -31,7 +31,11 @@ LAST_IO_SECONDS = {"save": None, "load": None}
 
 
 def _to_numpy_tree(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # one device_get for the whole tree: the runtime can overlap/batch the
+    # transfers, where per-leaf np.asarray serializes a blocking fetch per
+    # leaf — material at ECoG M=200 where the train state is ~1 GB and
+    # every byte crosses the axon tunnel
+    return jax.device_get(tree)
 
 
 def save_pytree(path: str, tree) -> None:
