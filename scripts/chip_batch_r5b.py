@@ -46,6 +46,33 @@ def _per_m_final():
     )
 
 
+@step_def("ecog_m200")
+def _ecog_m200():
+    # re-queued from batch A (failed there on a stale in-process module
+    # after a mid-run edit, not on chip behavior)
+    run_script(
+        "scripts/run_workload.py",
+        ["ecog", "--M", "200", "--itnum", "50",
+         "--out", "results/workload_ecog_m200_tpu_r5_cold.json"],
+    )
+
+
+@step_def("ecog_m200_ck")
+def _ecog_m200_ck():
+    run_script(
+        "scripts/run_workload.py",
+        ["ecog", "--M", "200", "--itnum", "5",
+         "--checkpoint", "results/ckpt_ecog_m200_r5.pkl",
+         "--out", "results/workload_ecog_m200_tpu_r5_ckpt_probe.json"],
+    )
+    run_script(
+        "scripts/run_workload.py",
+        ["ecog", "--M", "200", "--itnum", "5", "--resume",
+         "--checkpoint", "results/ckpt_ecog_m200_r5.pkl",
+         "--out", "results/workload_ecog_m200_tpu_r5_ckpt_resume.json"],
+    )
+
+
 @step_def("bench")
 def _bench():
     rec = last_json_line(run_script("bench.py", []))
@@ -77,7 +104,8 @@ def _ecog_opt_ab():
             json.dump(rec, f)
 
 
-ORDER = ["per_m_final", "bench", "flagship_ab", "ecog_opt_ab"]
+ORDER = ["per_m_final", "ecog_m200", "ecog_m200_ck", "bench", "flagship_ab",
+         "ecog_opt_ab"]
 
 
 def main():
