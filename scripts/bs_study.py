@@ -53,6 +53,11 @@ def main():
     p.add_argument("--itnum-scale", type=float, default=1.0,
                    help="scale every run's epoch count (quick smoke: 0.1)")
     p.add_argument("--seed", type=int, default=22)
+    p.add_argument("--grad-clip", type=float, default=1000.0,
+                   help="global-norm grad clip (driver default; the "
+                        "unclipped B=1000 legs escape their loss basin "
+                        "within 50 epochs — batch-A artifacts); 0 disables "
+                        "to reproduce the reference's unguarded traces")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -80,6 +85,7 @@ def main():
             lr=cfg["lr"], itnum=itnum, hyperpars=cfg["hyperpars"],
             fix_hyperpars=True, mu_v=np.ones(cfg["M"]), seed=args.seed,
             show_ELBO=False,
+            grad_clip_norm=args.grad_clip if args.grad_clip else None,
             X_test_list=Xt_list, Y_test_list=Yt_list,
             chunked_test_trace=True,
         )
@@ -99,7 +105,7 @@ def main():
     out_path = args.out or f"results/bs_study_{args.workload}.json"
     payload = dict(
         workload=args.workload, D=D, N=n_train, M=cfg["M"], lr=cfg["lr"],
-        seed=args.seed, runs=traces,
+        seed=args.seed, grad_clip=float(args.grad_clip), runs=traces,
     )
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:

@@ -86,6 +86,23 @@ def _flagship_ab():
     run_script("scripts/bench_flagship_ab.py", [])
 
 
+@step_def("bs_clip")
+def _bs_clip():
+    # clipped reruns of the batch-size study: the unclipped B=1000 legs
+    # escape their basin within 50 epochs (results/bs_study_*_noclip.json)
+    run_script("scripts/bs_study.py", ["pm25"])
+    run_script("scripts/bs_study.py", ["hcp"])
+
+
+@step_def("pm25_full")
+def _pm25_full():
+    run_script(
+        "scripts/run_workload.py",
+        ["pm25", "--full", "--itnum", "200", "--lr-decay", "0.99",
+         "--out", "results/workload_pm25_full_tpu_r5.json"],
+    )
+
+
 @step_def("ecog_opt_ab")
 def _ecog_opt_ab():
     for opt, B, name in (
@@ -105,7 +122,7 @@ def _ecog_opt_ab():
 
 
 ORDER = ["per_m_final", "ecog_m200", "ecog_m200_ck", "bench", "flagship_ab",
-         "ecog_opt_ab"]
+         "ecog_opt_ab", "bs_clip", "pm25_full"]
 
 
 def main():
