@@ -32,6 +32,20 @@ def step_def(name):
     return deco
 
 
+@step_def("ecog_m200_rollback")
+def _ecog_m200_rollback():
+    # the cold-start M=200 run carries ONE transient non-finite step
+    # (absorbed by the grad mask + clip; step 1398 in
+    # workload_ecog_m200_tpu_r5_cold.json).  divergence_rollback retries
+    # the offending chunk at half lr, so the ACCEPTED trajectory should be
+    # non-finite-free end to end (first_nonfinite_step: -1).
+    run_script(
+        "scripts/run_workload.py",
+        ["ecog", "--M", "200", "--itnum", "50", "--auto-rollback",
+         "--out", "results/workload_ecog_m200_tpu_r5_rollback.json"],
+    )
+
+
 @step_def("nuts_256")
 def _nuts_256():
     run_script(
@@ -53,7 +67,7 @@ def _nuts_128():
     )
 
 
-ORDER = ["nuts_256", "nuts_128"]
+ORDER = ["ecog_m200_rollback", "nuts_256", "nuts_128"]
 
 
 def main():
