@@ -303,6 +303,7 @@ def inference(
     divergence_rollback: bool = False,
     rollback_lr_factor: float = 0.5,
     max_rollbacks: int = 5,
+    optimizer: str = "adam",
 ) -> DSVIResult:
     """Train a CNMGP by DSVI.  Signature mirrors the reference `inference()`
     (nmgp_dsvi.py:758-761) so reference drivers port one-to-one.
@@ -394,12 +395,21 @@ def inference(
             transition_steps=num_batches_sched,
             decay_rate=float(lr_decay),
         )
+    # optimizer core: "adam" (reference parity) or "adam_bf16" (bf16 moment
+    # storage, f32 compute — measured +6% step rate at ECoG scale where
+    # Adam state HBM is 38% of the step; infer/optimizers.py)
+    if optimizer == "adam":
+        opt_core = optax.adam
+    elif optimizer == "adam_bf16":
+        from .optimizers import adam_bf16_moments as opt_core
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     if divergence_rollback:
         # the learning rate lives in the optimizer STATE so a rollback can
         # halve it without rebuilding/recompiling anything
-        adam = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        adam = optax.inject_hyperparams(opt_core)(learning_rate=lr)
     else:
-        adam = optax.adam(lr)
+        adam = opt_core(lr)
     optimizer = adam
     if grad_clip_norm is not None:
         optimizer = optax.chain(
