@@ -46,6 +46,48 @@ def _ecog_m200_rollback():
     )
 
 
+@step_def("pm25_full_stable")
+def _pm25_full_stable():
+    # the clip+decay recipe that stabilized HCP is NOT enough for
+    # pm25-full at lr=0.01 (loss escape at step ~3.7k, NaN from 7.2k,
+    # results/workload_pm25_full_tpu_r5.json).  Two candidate recipes —
+    # the auto-rollback feature (halves lr on the detected escape) and a
+    # gentler lr with decay:
+    run_script(
+        "scripts/run_workload.py",
+        ["pm25", "--full", "--itnum", "300", "--auto-rollback",
+         "--out", "results/workload_pm25_full_tpu_r5_rollback.json"],
+    )
+    run_script(
+        "scripts/run_workload.py",
+        ["pm25", "--full", "--itnum", "300", "--lr", "0.005",
+         "--lr-decay", "0.99",
+         "--out", "results/workload_pm25_full_tpu_r5_lr005.json"],
+    )
+
+
+@step_def("mfu_push")
+def _mfu_push():
+    # M=128 (MXU-aligned) x large B x bf16-moment Adam: the measured-best
+    # levers stacked (9.0% MFU at M=128/B=512 r4; 10.3% at M=100/B=2048
+    # adam_bf16 r5) — the ceiling probe for VERDICT weak #4
+    import json as _json
+    import time as _time
+
+    from _chip_batch_util import last_json_line as _ljl
+
+    for M, B, opt, name in (
+        ("128", "2048", "adam_bf16", "m128_b2048_adambf16"),
+        ("128", "2048", "adam", "m128_b2048_adam"),
+        ("128", "1024", "adam_bf16", "m128_b1024_adambf16"),
+    ):
+        rec = _ljl(run_script("scripts/bench_ecog.py",
+                              ["--M", M, "--B", B, "--optimizer", opt]))
+        rec["measured_at"] = _time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(f"results/bench_ecog_tpu_r5_{name}.json", "w") as f:
+            _json.dump(rec, f)
+
+
 @step_def("nuts_256")
 def _nuts_256():
     run_script(
@@ -67,7 +109,7 @@ def _nuts_128():
     )
 
 
-ORDER = ["ecog_m200_rollback", "nuts_256", "nuts_128"]
+ORDER = ["ecog_m200_rollback", "pm25_full_stable", "mfu_push", "nuts_256", "nuts_128"]
 
 
 def main():

@@ -91,6 +91,11 @@ def main():
                         "pre-chunk state and retry at half the lr "
                         "(inference(divergence_rollback=True); "
                         "incompatible with --lr-decay)")
+    p.add_argument("--optimizer", default="adam",
+                   choices=["adam", "adam_bf16"],
+                   help="adam_bf16 stores both Adam moments in bf16 "
+                        "(f32 compute; +6%% measured ECoG step rate, "
+                        "infer/optimizers.py)")
     p.add_argument("--n-sample", type=int, default=200)
     p.add_argument("--out", default=None)
     p.add_argument("--checkpoint", default=None)
@@ -177,6 +182,7 @@ def main():
         grad_clip_norm=args.grad_clip if args.grad_clip else None,
         lr_decay=args.lr_decay,
         divergence_rollback=args.auto_rollback,
+        optimizer=args.optimizer,
     )
     train_s = time.time() - t0
     steps = len(res.loss_list)
