@@ -132,11 +132,14 @@ def main():
     run_epochs = make_scan_epochs(optimizer, float(N), 1e-4, num_batches, B)
 
     # warmup / compile (same n_epochs: it is a static arg — different values
-    # would recompile inside the timed region).  80 epochs (1200 steps) per
-    # dispatch: the axon tunnel costs ~24 ms fixed per dispatch+fetch, which
-    # at 8 epochs was ~200 us/step of pure host overhead; production training
-    # runs 100-epoch probe intervals per dispatch, so this matches real use.
-    n_epochs = 80
+    # would recompile inside the timed region).  400 epochs (6000 steps,
+    # ~2 s device time) per dispatch: the axon tunnel costs ~24 ms fixed
+    # per dispatch+fetch — 5.5% of an 80-epoch dispatch (the r1-r4 bench
+    # size), 1.2% here.  Production sizing is the DISPATCH_BUDGET_S
+    # calibration in `inference` (30 s/dispatch at this step rate would be
+    # ~88k steps), so the larger chunk is the more production-faithful
+    # measurement, still 15x under the worker's dispatch budget.
+    n_epochs = 400
     params2, opt2, losses = run_epochs(
         params, opt_state, grad_mask, Z, x, y, idx, jax.random.PRNGKey(1), n_epochs
     )
