@@ -69,8 +69,15 @@ def last_json_line(text):
 def make_stepper(status_path):
     """Returns (step, status): step(name, fn) runs fn, records ok/wall_s,
     persists the status file after every step, and never lets one failure
-    lose the rest of the batch."""
+    lose the rest of the batch.  An existing status file is merged in so
+    a re-run with --only does not erase earlier steps' records."""
     status = {}
+    if os.path.exists(status_path):
+        try:
+            with open(status_path) as f:
+                status = json.load(f)
+        except Exception:
+            status = {}
 
     def step(name, fn):
         t0 = time.time()
