@@ -304,6 +304,7 @@ def inference(
     rollback_lr_factor: float = 0.5,
     max_rollbacks: int = 5,
     optimizer: str = "adam",
+    ckpt_moments_dtype=None,
 ) -> DSVIResult:
     """Train a CNMGP by DSVI.  Signature mirrors the reference `inference()`
     (nmgp_dsvi.py:758-761) so reference drivers port one-to-one.
@@ -579,7 +580,7 @@ def inference(
         if show_ELBO:
             print(f"training takes {time.time() - ts:.2f}s")
         if save_model and PATH is not None:
-            ckpt.save_train_state(PATH, params, opt_state, epoch=epoch, loss=loss_list[-1])
+            ckpt.save_train_state(PATH, params, opt_state, epoch=epoch, loss=loss_list[-1], moments_dtype=ckpt_moments_dtype)
         return DSVIResult(
             params=params,
             Z=Z,
@@ -634,7 +635,7 @@ def inference(
         print(f"training takes {time.time() - ts:.2f}s")
 
     if save_model and PATH is not None:
-        ckpt.save_train_state(PATH, params, opt_state, epoch=epoch, loss=loss_list[-1])
+        ckpt.save_train_state(PATH, params, opt_state, epoch=epoch, loss=loss_list[-1], moments_dtype=ckpt_moments_dtype)
 
     return DSVIResult(
         params=params,

@@ -52,14 +52,56 @@ def load_pytree(path: str, like):
     return jax.tree_util.tree_unflatten(treedef, blob["leaves"])
 
 
+def _cast_float_leaves(tree, dtype):
+    """Cast floating leaves of `tree` to `dtype` ON DEVICE (before any
+    fetch), leaving ints/bools (e.g. Adam's step count) untouched."""
+    import jax.numpy as jnp
+
+    def cast(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return a.astype(dtype)
+        return a
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def _restore_leaf_dtypes(tree, like):
+    """Cast each loaded leaf back to the dtype its `like` counterpart has
+    (undoes `moments_dtype` down-casting at load time so a resumed run
+    keeps its optimizer's native precision)."""
+
+    def fix(a, r):
+        if (
+            hasattr(a, "dtype")
+            and hasattr(r, "dtype")
+            and a.dtype != r.dtype
+        ):
+            return np.asarray(a, dtype=r.dtype)
+        return a
+
+    return jax.tree_util.tree_map(fix, tree, like)
+
+
 def save_train_state(
     path: str, params, opt_state, epoch: int = 0, loss: float = 0.0,
-    backend: str = "pickle",
+    backend: str = "pickle", moments_dtype=None,
 ):
+    """`moments_dtype` (e.g. jnp.bfloat16) down-casts the optimizer
+    state's floating leaves ON DEVICE before the device_get, halving the
+    dominant cost of a large-state save — the ~7 MB/s axon-tunnel fetch
+    of the Adam moments (docs/DESIGN.md §17.3; M=200 state is ~1 GB and
+    the moments are two-thirds of it).  Params always save full
+    precision; `load_train_state` restores the moments to the dtype of
+    the `opt_state_like` it is given (bf16 quantization of second
+    moments perturbs the next update by ~2^-8 relative — the same
+    tolerance class as `optimizer="adam_bf16"`, which already stores
+    moments bf16 on device and makes this cast a no-op)."""
     import time as _time
 
     _t0 = _time.time()
     try:
+        if moments_dtype is not None:
+            opt_state = _cast_float_leaves(opt_state, moments_dtype)
         return _save_train_state(path, params, opt_state, epoch, loss, backend)
     finally:
         LAST_IO_SECONDS["save"] = _time.time() - _t0
@@ -134,6 +176,8 @@ def _load_train_state(path, params_like, opt_state_like, backend):
     opt_state = jax.tree_util.tree_unflatten(o_def, state["opt_state"])
     params = _migrate_layout(params, params_like)
     opt_state = _migrate_layout(opt_state, opt_state_like)
+    params = _restore_leaf_dtypes(params, params_like)
+    opt_state = _restore_leaf_dtypes(opt_state, opt_state_like)
     return params, opt_state
 
 

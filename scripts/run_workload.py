@@ -26,6 +26,7 @@ import json
 import pickle
 import time
 
+import jax.numpy as jnp
 import numpy as np
 
 WORKLOADS = {
@@ -99,6 +100,10 @@ def main():
     p.add_argument("--n-sample", type=int, default=200)
     p.add_argument("--out", default=None)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--ckpt-bf16-moments", action="store_true",
+                   help="save Adam moments bf16 (halves the dominant "
+                   "axon-tunnel fetch of a large-state save; "
+                   "docs/DESIGN.md §17.3)")
     p.add_argument("--resume", action="store_true")
     p.add_argument(
         "--full",
@@ -183,6 +188,7 @@ def main():
         lr_decay=args.lr_decay,
         divergence_rollback=args.auto_rollback,
         optimizer=args.optimizer,
+        ckpt_moments_dtype=jnp.bfloat16 if args.ckpt_bf16_moments else None,
     )
     train_s = time.time() - t0
     steps = len(res.loss_list)
@@ -196,6 +202,7 @@ def main():
         batch_size=batch_size,
         itnum=itnum,
         grad_clip=float(args.grad_clip),
+        ckpt_bf16_moments=bool(args.ckpt_bf16_moments),
         lr_decay=args.lr_decay,
         rollbacks=res.rollbacks,
         final_loss=float(res.loss_list[-1]),

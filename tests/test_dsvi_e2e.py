@@ -133,6 +133,47 @@ def test_checkpoint_roundtrip(tmp_path, trained):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_bf16_moments_roundtrip(tmp_path, trained):
+    """save_train_state(moments_dtype=bf16) must halve the stored moment
+    bytes, keep params bit-exact, and load_train_state must restore the
+    optimizer state to the f32 dtypes of `opt_state_like` with values
+    within bf16 quantization (docs/DESIGN.md §17.3 checkpoint-IO fix)."""
+    res, _ = trained
+    from collaborative_nonstationary_multivariate_gaussian_process_tpu.utils import (
+        checkpoint as ckpt,
+    )
+    import optax
+
+    opt = optax.adam(0.01)
+    opt_state = opt.init(res.params)
+    # make the moments nonzero so quantization is actually exercised
+    grads = jax.tree_util.tree_map(
+        lambda a: jnp.full_like(a, 0.321), res.params
+    )
+    _, opt_state = opt.update(grads, opt_state, res.params)
+
+    p_f32 = os.path.join(tmp_path, "f32.ckpt")
+    p_bf16 = os.path.join(tmp_path, "bf16.ckpt")
+    ckpt.save_train_state(p_f32, res.params, opt_state)
+    ckpt.save_train_state(
+        p_bf16, res.params, opt_state, moments_dtype=jnp.bfloat16
+    )
+    assert os.path.getsize(p_bf16) < 0.75 * os.path.getsize(p_f32)
+
+    p2, o2 = ckpt.load_train_state(p_bf16, res.params, opt_state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(res.params), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(opt_state), jax.tree_util.tree_leaves(o2)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype  # restored to the like tree's dtype
+        if np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_allclose(a, b, rtol=2 ** -8, atol=1e-12)
+
+
 def test_apply_hyperpars_intended_semantics():
     """The reference writes sigma2_L1_log into sigma2_L0_log
     (nmgp_dsvi.py:784-785, copy-paste bug); we implement the intent."""
