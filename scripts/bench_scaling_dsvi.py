@@ -104,16 +104,22 @@ def main():
         _p, _o, l0 = step(params, opt_state, mask, Zs, bx, by, bidx, bw,
                           jax.random.PRNGKey(999))
         l0.block_until_ready()
+        # keep fetches OUT of the timed loop: on the axon backend every
+        # dispatch+fetch round trip costs a fixed ~24 ms, which would
+        # dominate per-step timing (verify-skill notes; bench.py amortizes
+        # the same way)
         t0 = time.time()
         for i in range(args.steps):
             params, opt_state, loss = step(
                 params, opt_state, mask, Zs, bx, by, bidx, bw,
                 jax.random.PRNGKey(i),
             )
-            losses.append(float(loss))
+            losses.append(loss)
+        float(losses[-1])  # force materialization (block_until_ready can
+        # return before the remote value lands — verify-skill notes)
         wall = time.time() - t0
 
-        losses = np.asarray(losses)
+        losses = np.asarray([float(l) for l in losses])
         if ref_losses is None:
             ref_losses = losses
             drift = 0.0
