@@ -344,7 +344,12 @@ def inference(
     proceeds unguarded).  Snapshots are references to immutable device
     arrays — no copies, no host traffic.  Requires a constant float `lr`
     (incompatible with `lr_decay`); the reference has no equivalent (its
-    runs simply blow up, NMGP_HCP 200-epoch repro)."""
+    runs simply blow up, NMGP_HCP 200-epoch repro).
+
+    `ckpt_moments_dtype`: optional dtype (e.g. `jnp.bfloat16`) for the
+    optimizer-state floats in checkpoint SAVES — halves the dominant
+    axon-tunnel fetch of a large-state save (docs/DESIGN.md §17.3);
+    loading restores the live optimizer's dtypes."""
     from ..utils.data import flatten_output_lists
     from ..utils import checkpoint as ckpt
 
